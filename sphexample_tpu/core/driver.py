@@ -1,0 +1,219 @@
+"""Host driver: build the simulation, stream output intervals.
+
+TPU-native equivalent of ``RunSimulation`` (reference
+``src/SPHCellList.jl:808-930``): all physics lives in one jitted
+per-interval function; the host loop only schedules output times, pulls
+snapshots, and checks the cell-occupancy overflow telemetry.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    Geometry,
+    MDBCMode,
+    SimulationConstants,
+    SimulationMetaData,
+    SPHKernelInstance,
+    DensityDiffusionModel,
+    ViscosityModel,
+)
+from ..io.csv_io import load_boundary_normals, load_geometries
+from ..ops import cell_list as cl
+from ..ops.interactions import PhysicsSpec
+from ..models import equations as eq
+from ..state import Particles, SimulationState, allocate_particles
+from .motion import build_motion_table
+from .step import StepConfig, make_interval_fn
+
+
+@dataclass
+class Simulation:
+    """A ready-to-run simulation: static config + on-device state."""
+
+    cfg: StepConfig
+    state: SimulationState
+    meta: SimulationMetaData
+    n_live: int
+    interval_fn: Callable = None
+
+    def __post_init__(self):
+        if self.interval_fn is None:
+            self.interval_fn = make_interval_fn(self.cfg)
+
+
+def _dtype_of(meta: SimulationMetaData):
+    return jnp.float64 if meta.dtype == "float64" else jnp.float32
+
+
+def assemble_simulation(
+    position: np.ndarray,
+    density: np.ndarray,
+    ptype: np.ndarray,
+    group_marker: np.ndarray,
+    idp: np.ndarray,
+    meta: SimulationMetaData,
+    constants: SimulationConstants,
+    kernel: SPHKernelInstance,
+    viscosity: ViscosityModel,
+    diffusion: DensityDiffusionModel,
+    *,
+    ghost_points: Optional[np.ndarray] = None,
+    ghost_normals: Optional[np.ndarray] = None,
+    geometries: Sequence[Geometry] = (),
+    capacity: Optional[int] = None,
+) -> Simulation:
+    """Allocate device state from host arrays and assemble the jitted step
+    config (grid bounds, candidate-window capacity, motion table)."""
+    dims = meta.dims
+    dtype = _dtype_of(meta)
+    n = len(density)
+
+    particles = allocate_particles(
+        position, density, ptype, group_marker, idp, dtype=dtype, capacity=capacity
+    )
+
+    n_ghost = 0
+    if ghost_points is not None:
+        # Reference LoadMDBCNormals! (SPHCellList.jl:507-524): ghost rows map
+        # 1:1 onto the first particles in ID order (the boundary body loads
+        # first and IDs are contiguous from 1).
+        n_ghost = len(ghost_points)
+        gp = np.zeros((particles.capacity, dims))
+        gn = np.zeros((particles.capacity, dims))
+        gp[:n_ghost] = ghost_points
+        gn[:n_ghost] = ghost_normals
+        particles = particles.replace(
+            ghost_points=jnp.asarray(gp, dtype=dtype),
+            ghost_normals=jnp.asarray(gn, dtype=dtype),
+        )
+
+    # Initial pressure (reference RunSimulation, SPHCellList.jl:835)
+    particles = particles.replace(pressure=eq.pressure(particles.density, constants))
+
+    grid = cl.grid_from_positions(position, kernel.H_inv, meta.grid_margin_cells)
+    mpc = meta.max_per_cell or cl.estimate_max_per_cell(position, kernel.H_inv)
+    cseg = 3 * mpc
+
+    spec = PhysicsSpec(
+        constants=constants,
+        kernel=kernel,
+        viscosity=viscosity,
+        diffusion=diffusion,
+        shifting=meta.shifting,
+        kernel_output=meta.kernel_output,
+    )
+    cfg = StepConfig(
+        spec=spec,
+        meta=meta,
+        grid=grid,
+        cseg=cseg,
+        block_size=meta.block_size,
+        motion=build_motion_table(geometries, dims),
+        boundary_capacity=max(1, n_ghost),
+    )
+
+    zero = jnp.zeros((), dtype=dtype)
+    state = SimulationState(
+        particles=particles,
+        cell_start=jnp.zeros((grid.ncells + 2,), dtype=jnp.int32),
+        total_time=zero,
+        current_dt=zero,
+        iteration=jnp.zeros((), dtype=jnp.int32),
+        max_occupancy=jnp.zeros((), dtype=jnp.int32),
+        position_half=jnp.zeros_like(particles.position),
+    )
+    return Simulation(cfg=cfg, state=state, meta=meta, n_live=n)
+
+
+def build_simulation(
+    geometries: Sequence[Geometry],
+    meta: SimulationMetaData,
+    constants: SimulationConstants,
+    kernel: SPHKernelInstance,
+    viscosity: ViscosityModel,
+    diffusion: DensityDiffusionModel,
+    particle_normals_path: Optional[str] = None,
+    capacity: Optional[int] = None,
+) -> Simulation:
+    """Load CSV geometry and assemble a ready-to-run simulation."""
+    position, density, ptype, group_marker, idp = load_geometries(geometries, meta.dims)
+
+    ghost_points = ghost_normals = None
+    if meta.mdbc is MDBCMode.SIMPLE and particle_normals_path is not None:
+        _, ghost_points, ghost_normals = load_boundary_normals(
+            particle_normals_path, meta.dims
+        )
+
+    return assemble_simulation(
+        position, density, ptype, group_marker, idp,
+        meta, constants, kernel, viscosity, diffusion,
+        ghost_points=ghost_points, ghost_normals=ghost_normals,
+        geometries=geometries, capacity=capacity,
+    )
+
+
+def run_simulation(
+    sim: Simulation,
+    save_callback: Optional[Callable[[int, SimulationState], None]] = None,
+    log_callback: Optional[Callable[[dict], None]] = None,
+    max_intervals: Optional[int] = None,
+) -> Simulation:
+    """Outer host loop over output intervals (reference SPHCellList.jl:881-929).
+
+    ``save_callback(counter, state)`` fires once for the initial state and once
+    per output time.  Raises if the candidate windows overflowed (cell
+    occupancy exceeded the static budget) - results would be invalid.
+    """
+    meta = sim.meta
+    state = sim.state
+    counter = 1
+    if save_callback is not None:
+        save_callback(counter, state)
+
+    mpc_budget = sim.cfg.cseg // 3
+    t_wall0 = time.perf_counter()
+    intervals = 0
+    while True:
+        t_out = meta.output_time_for(counter)
+        prev_iter = int(state.iteration)
+        state = sim.interval_fn(state, jnp.asarray(t_out, dtype=state.total_time.dtype))
+        counter += 1
+        intervals += 1
+
+        occ = int(state.max_occupancy)
+        if occ > mpc_budget:
+            raise RuntimeError(
+                f"cell occupancy {occ} exceeded the static budget {mpc_budget}; "
+                f"rebuild with SimulationMetaData.max_per_cell >= {occ}"
+            )
+
+        if save_callback is not None:
+            save_callback(counter, state)
+        if log_callback is not None:
+            tt = float(state.total_time)
+            log_callback(
+                dict(
+                    counter=counter,
+                    total_time=tt,
+                    iteration=int(state.iteration),
+                    steps_in_interval=int(state.iteration) - prev_iter,
+                    dt=float(state.current_dt),
+                    wall_time=time.perf_counter() - t_wall0,
+                )
+            )
+
+        if float(state.total_time) > meta.simulation_time:
+            break
+        if max_intervals is not None and intervals >= max_intervals:
+            break
+
+    sim.state = state
+    return sim

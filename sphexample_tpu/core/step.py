@@ -1,0 +1,228 @@
+"""The 12-stage symplectic predictor-corrector step, fully on device.
+
+One output interval = one ``lax.while_loop`` whose body is the step below -
+the TPU-native equivalent of ``SimulationLoop`` (reference
+``src/SPHCellList.jl:727-805``).  The host only calls the jitted interval
+function once per OutputTime and streams snapshots.
+
+Stage numbering mirrors the reference's timer taxonomy (SURVEY.md section 3.2):
+
+  00  dx accumulation (update_delta_x!, SPHCellList.jl:744,706-724)
+  01  adaptive dt                         (:748)
+  02  lazy neighbor rebuild when dx >= h  (:758-762)
+  --  motion (dt/2)                       (:765)
+  03  pressure from density               (:771)
+  04  mDBC density correction             (:772)
+  05  first neighbor sweep                (:774)
+  06  half step predictor                 (:778)
+  07  clamp rho_half at boundary          (:781)
+  --  motion (dt/2)                       (:787)
+  03b pressure from rho_half              (:789)
+  08  second neighbor sweep               (:790)
+  09  clamp density at boundary           (:794)
+  10  symplectic density corrector        (:796)
+  11  full step corrector (+ shifting)    (:798)
+  12  time/iteration bookkeeping          (:800)
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MDBCMode, ShiftingMode, SimulationMetaData
+from ..models import equations as eq
+from ..ops import cell_list as cl
+from ..ops.interactions import PhysicsSpec, pair_sweep
+from ..ops.mdbc import mdbc_density_correction
+from ..ops.timestep import adaptive_dt
+from ..state import SimulationState
+from .motion import MotionTable, progress_motion
+
+
+@dataclass(frozen=True)
+class StepConfig:
+    """Static compile-time bundle for the step function."""
+
+    spec: PhysicsSpec
+    meta: SimulationMetaData
+    grid: cl.Grid
+    cseg: int               # candidate capacity per stencil row (3 cells)
+    block_size: int
+    motion: MotionTable
+    boundary_capacity: int  # number of mDBC ghost-carrying particles (static)
+
+
+def _gravity_acc(cfg: StepConfig, particles, acc):
+    """acc += gravity on the last axis scaled by GravityFactor
+    (reference HalfTimeStep/FullTimeStep, SPHCellList.jl:630,647)."""
+    g_last = cfg.spec.constants.g * particles.gravity_factor
+    return acc.at[..., -1].add(g_last)
+
+
+def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
+    """One symplectic step.  Returns (new_state, new_dx_acc)."""
+    spec = cfg.spec
+    c = spec.constants
+    kern = spec.kernel
+    meta = cfg.meta
+    p = state.particles
+
+    # 00 - displacement accumulator: dx += 4 * max |pos_half - pos|
+    disp = jnp.sqrt(jnp.sum((state.position_half - p.position) ** 2, axis=-1))
+    dx_acc = dx_acc + 4.0 * jnp.max(disp)
+
+    # 01 - adaptive dt
+    dt = adaptive_dt(p.position, p.velocity, p.acceleration, c, kern)
+    dt2 = dt * 0.5
+
+    # 02 - lazy rebuild when dx >= h
+    def do_rebuild(p_in):
+        sorted_p, cell_start, occ = cl.rebuild(p_in, kern.H_inv, cfg.grid)
+        nblk = jnp.arange(sorted_p.capacity, dtype=jnp.int32) // cfg.block_size
+        sorted_p = sorted_p.replace(chunk_id=nblk)
+        return sorted_p, cell_start, occ, jnp.zeros_like(dx_acc)
+
+    def no_rebuild(p_in):
+        return p_in, state.cell_start, state.max_occupancy, dx_acc
+
+    p, cell_start, occ, dx_acc = jax.lax.cond(dx_acc >= kern.h, do_rebuild, no_rebuild, p)
+    occ = jnp.maximum(occ, state.max_occupancy)
+
+    # -- motion (first half, reference :765)
+    pos, vel = progress_motion(cfg.motion, p, state.total_time, dt2)
+    p = p.replace(position=pos, velocity=vel)
+
+    # 03 - pressure from current density (quirk: computed BEFORE the mDBC
+    # correction mutates density; the first sweep therefore pairs corrected
+    # densities with pre-correction pressures, as the reference does).
+    p = p.replace(pressure=eq.pressure(p.density, c))
+
+    # 04 - mDBC
+    if meta.mdbc is MDBCMode.SIMPLE:
+        p = p.replace(
+            density=mdbc_density_correction(
+                spec, cfg.grid, cfg.cseg, p, cell_start, cfg.boundary_capacity
+            )
+        )
+
+    # 05 - first neighbor sweep (predictor forces)
+    out1 = pair_sweep(
+        spec, cfg.grid, cfg.cseg, cfg.block_size,
+        p, cell_start, p.position, p.density, p.pressure, p.velocity,
+    )
+
+    # 06 - half step predictor (reference HalfTimeStep, :624-638)
+    acc = _gravity_acc(cfg, p, out1.acceleration)
+    ml = p.motion_limiter[:, None]
+    pos_half = p.position + p.velocity * dt2 * ml
+    vel_half = p.velocity + acc * dt2 * ml
+    rho_half = p.density + out1.drhodt * dt2
+    p = p.replace(acceleration=acc)
+
+    # 07 - clamp rho_half at boundaries
+    rho_half = eq.limit_density_at_boundary(rho_half, c.rho0, p.motion_limiter)
+
+    # -- motion (second half, reference :787)
+    pos, vel = progress_motion(cfg.motion, p, state.total_time, dt2)
+    p = p.replace(position=pos, velocity=vel)
+
+    # 03b - pressure from rho_half
+    p = p.replace(pressure=eq.pressure(rho_half, c))
+
+    # 08 - second neighbor sweep (corrector forces, on half-step fields)
+    out2 = pair_sweep(
+        spec, cfg.grid, cfg.cseg, cfg.block_size,
+        p, cell_start, pos_half, rho_half, p.pressure, vel_half,
+    )
+
+    # 09 - clamp density at boundaries (before the corrector, reference :794)
+    density = eq.limit_density_at_boundary(p.density, c.rho0, p.motion_limiter)
+
+    # 10 - symplectic density corrector
+    density = eq.density_epsi(density, out2.drhodt, rho_half, dt)
+
+    # 11 - full step corrector (reference FullTimeStep, :640-677)
+    acc2 = _gravity_acc(cfg, p, out2.acceleration)
+    vel_new = p.velocity + acc2 * dt * ml
+    mid_vel = 0.5 * (vel_new + (vel_new - acc2 * dt * ml))
+    dpos = mid_vel * dt
+    if meta.shifting is ShiftingMode.PLANAR:
+        # Fickian shifting with free-surface scaling (reference :654-677):
+        # A=2, A_FST=0, A_FSM=D; shift disabled where the scaling is negative.
+        A_coef, A_fst = 2.0, 0.0
+        A_fsm = float(p.dims)
+        a_fsc = (out2.div_r - A_fst) / (A_fsm - A_fst)
+        vmag = jnp.sqrt(jnp.sum(vel_new * vel_new, axis=-1))
+        delta_x = (-a_fsc * A_coef * kern.h * vmag * dt)[:, None] * out2.grad_c
+        delta_x = jnp.where(a_fsc[:, None] < 0, jnp.zeros_like(delta_x), delta_x)
+        dpos = dpos + delta_x
+    pos_new = p.position + dpos * ml
+
+    updates = dict(
+        position=pos_new,
+        velocity=vel_new,
+        acceleration=acc2,
+        density=density,
+    )
+    if out2.kernel_w is not None:
+        updates["kernel_w"] = out2.kernel_w
+        updates["kernel_grad"] = out2.kernel_grad
+    p = p.replace(**updates)
+
+    # 12 - bookkeeping
+    new_state = state.replace(
+        particles=p,
+        cell_start=cell_start,
+        total_time=state.total_time + dt,
+        current_dt=dt,
+        iteration=state.iteration + 1,
+        max_occupancy=occ,
+        position_half=pos_half,
+    )
+    return new_state, dx_acc
+
+
+def make_interval_fn(cfg: StepConfig):
+    """Build the jitted per-output-interval function.
+
+    Runs steps while ``total_time <= t_out`` (reference SPHCellList.jl:742),
+    with the displacement accumulator freshly initialized to 1 + h so the
+    first step of every interval rebuilds the cell list (reference :739).
+    """
+
+    def interval(state: SimulationState, t_out) -> SimulationState:
+        dx0 = jnp.asarray(1.0 + cfg.spec.kernel.h, dtype=state.total_time.dtype)
+
+        def cond(carry):
+            s, _ = carry
+            return s.total_time <= t_out
+
+        def body(carry):
+            s, dx_acc = carry
+            return sph_step(cfg, s, dx_acc)
+
+        final, _ = jax.lax.while_loop(cond, body, (state, dx0))
+        return final
+
+    return jax.jit(interval)
+
+
+def make_fixed_steps_fn(cfg: StepConfig, n_steps: int):
+    """Benchmark helper: run exactly ``n_steps`` steps under one jit."""
+
+    def run(state: SimulationState) -> SimulationState:
+        dx0 = jnp.asarray(1.0 + cfg.spec.kernel.h, dtype=state.total_time.dtype)
+
+        def body(_, carry):
+            s, dx_acc = carry
+            return sph_step(cfg, s, dx_acc)
+
+        final, _ = jax.lax.fori_loop(0, n_steps, body, (state, dx0))
+        return final
+
+    return jax.jit(run)

@@ -1,0 +1,186 @@
+"""On-device hash-sorted cell list - the TPU-native neighbor engine.
+
+Replaces the reference's ``UpdateNeighbors!`` machinery (sort StructArray by
+CartesianIndex cell + run-length-encode + Dict lookup, reference
+``src/SPHCellList.jl:118-163``) with:
+
+  * the same round-half-away-from-zero cell assignment (``map_floor``,
+    SPHCellList.jl:56-61) for bit-comparable cell coordinates,
+  * a *static dense grid*: cell coords are clamped into a host-chosen bounding
+    box and linearized with the x-axis fastest, so the three x-adjacent cells
+    of any stencil row occupy one contiguous key range,
+  * ``argsort`` over linear keys + a gather-permute of all particle fields,
+  * segment starts via ``searchsorted`` (the Dict becomes a dense array).
+
+Between lazy rebuilds the stored cell coords are stale by design - identical
+to the reference's displacement-accumulator rule (SPHCellList.jl:706-724).
+
+Inactive padding slots are parked in a dedicated key one past the last real
+cell, so they sort to the tail and are never visited by any stencil row.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..state import Particles
+
+
+@dataclass(frozen=True)
+class Grid:
+    """Static cell-grid bounds.  ``cmin``/``shape`` are per-dimension integer
+    cell coordinates (same convention as map_floor) chosen on the host."""
+
+    cmin: Tuple[int, ...]
+    shape: Tuple[int, ...]
+
+    @property
+    def dims(self) -> int:
+        return len(self.shape)
+
+    @property
+    def ncells(self) -> int:
+        return int(np.prod(self.shape))
+
+    @property
+    def parking_key(self) -> int:
+        return self.ncells
+
+    @property
+    def strides(self) -> Tuple[int, ...]:
+        """x fastest: key = rel[0] + nx*(rel[1] + ny*rel[2])."""
+        s = [1]
+        for n in self.shape[:-1]:
+            s.append(s[-1] * n)
+        return tuple(s)
+
+
+def map_floor(x, inv_cutoff):
+    """Round-half-away-from-zero onto the integer grid of pitch H
+    (reference SPHCellList.jl:56-61): sign(x) * trunc(|x| * H^-1 + 0.5)."""
+    return (jnp.sign(x) * jnp.trunc(jnp.abs(x) * inv_cutoff + 0.5)).astype(jnp.int32)
+
+
+def cell_coords(position, inv_cutoff):
+    """Per-particle cell coordinates (reference ExtractCells!, SPHCellList.jl:118-123)."""
+    return map_floor(position, inv_cutoff)
+
+
+def clamp_coords(coords, grid: Grid):
+    lo = jnp.asarray(grid.cmin, dtype=jnp.int32)
+    hi = lo + jnp.asarray(grid.shape, dtype=jnp.int32) - 1
+    return jnp.clip(coords, lo, hi)
+
+
+def linearize(coords, grid: Grid):
+    """Linear key of (clamped) cell coords; x (dim 0) fastest."""
+    rel = clamp_coords(coords, grid) - jnp.asarray(grid.cmin, dtype=jnp.int32)
+    strides = jnp.asarray(grid.strides, dtype=jnp.int32)
+    return jnp.sum(rel * strides, axis=-1)
+
+
+def grid_from_positions(
+    positions: np.ndarray, inv_cutoff: float, margin_cells: int = 6
+) -> Grid:
+    """Host-side: choose static grid bounds from initial positions plus a
+    safety margin (particles leaving the box are clamped to edge cells)."""
+    c = np.sign(positions) * np.trunc(np.abs(positions) * inv_cutoff + 0.5)
+    c = c.astype(np.int64)
+    cmin = c.min(axis=0) - margin_cells
+    cmax = c.max(axis=0) + margin_cells
+    return Grid(cmin=tuple(int(v) for v in cmin), shape=tuple(int(v) for v in (cmax - cmin + 1)))
+
+
+def estimate_max_per_cell(positions: np.ndarray, inv_cutoff: float) -> int:
+    """Host-side occupancy estimate for sizing the candidate windows."""
+    c = (np.sign(positions) * np.trunc(np.abs(positions) * inv_cutoff + 0.5)).astype(np.int64)
+    _, counts = np.unique(c, axis=0, return_counts=True)
+    occ = int(counts.max())
+    # safety: compression during impacts packs cells beyond the initial lattice
+    return int(math.ceil(occ * 1.5)) + 8
+
+
+def rebuild(particles: Particles, inv_cutoff, grid: Grid):
+    """Assign cells, sort all particle fields by linear key, build segment
+    starts.  Returns (sorted particles, cell_start, max_occupancy).
+
+    The TPU analog of ``UpdateNeighbors!`` (reference SPHCellList.jl:138-163):
+    the RLE scan + CellDict become a dense ``cell_start`` array of length
+    ncells+2 (cell k occupies sorted indices [cell_start[k], cell_start[k+1])),
+    with the parking cell for inactive padding at key ``ncells``.
+    """
+    coords = cell_coords(particles.position, inv_cutoff)
+    coords = clamp_coords(coords, grid)
+    keys = linearize(coords, grid)
+    keys = jnp.where(particles.active, keys, grid.parking_key)
+
+    perm = jnp.argsort(keys, stable=True)
+    sorted_keys = jnp.take(keys, perm, axis=0)
+    sorted_parts = particles.permute(perm)
+    sorted_parts = sorted_parts.replace(cell=jnp.take(coords, perm, axis=0))
+
+    edges = jnp.arange(grid.ncells + 2, dtype=sorted_keys.dtype)
+    cell_start = jnp.searchsorted(sorted_keys, edges, side="left").astype(jnp.int32)
+    occ = cell_start[1 : grid.ncells + 1] - cell_start[: grid.ncells]
+    return sorted_parts, cell_start, jnp.max(occ).astype(jnp.int32)
+
+
+def stencil_rows(dims: int) -> np.ndarray:
+    """Static row offsets over dims 1..D-1 (all of {-1,0,1}^(D-1)): each row,
+    combined with the contiguous x-span [-1, +1], covers 3 cells of the full
+    3^D neighborhood.  3 rows in 2D, 9 rows in 3D.
+
+    Unlike the reference's half stencil (ConstructStencil,
+    SPHCellList.jl:37-43) the gather formulation visits the *full*
+    neighborhood and computes each pair from both endpoints - no scatter races.
+    """
+    if dims == 2:
+        deltas = [(d1,) for d1 in (-1, 0, 1)]
+    elif dims == 3:
+        deltas = [(d1, d2) for d2 in (-1, 0, 1) for d1 in (-1, 0, 1)]
+    else:
+        raise ValueError("only 2D/3D supported")
+    return np.asarray(deltas, dtype=np.int32)
+
+
+def row_segments(coords, grid: Grid, cell_start):
+    """For each particle (or ghost point) with cell ``coords`` [..., D], return
+    candidate segment (start, end) sorted-index ranges for each stencil row.
+
+    Output shapes [..., S] with S = 3^(D-1).  Rows falling outside the grid
+    return empty segments (start == end == 0).  Within a row the x-range
+    [cx-1, cx+1] is clamped to the grid edge, which exactly drops the
+    out-of-bounds cells (matching the reference's Dict miss -> empty range,
+    SPHCellList.jl:199-203).
+    """
+    dims = grid.dims
+    rows = jnp.asarray(stencil_rows(dims))  # [S, D-1]
+    cmin = jnp.asarray(grid.cmin, dtype=jnp.int32)
+    shape = jnp.asarray(grid.shape, dtype=jnp.int32)
+    strides = jnp.asarray(grid.strides, dtype=jnp.int32)
+
+    rel = coords - cmin  # [..., D]
+    # Row coords over dims 1..D-1: [..., S, D-1]
+    row_rel = rel[..., None, 1:] + rows
+    row_valid = jnp.all((row_rel >= 0) & (row_rel < shape[1:]), axis=-1)  # [..., S]
+
+    x_lo = jnp.clip(rel[..., 0] - 1, 0, shape[0] - 1)  # [...]
+    x_hi = jnp.clip(rel[..., 0] + 1, 0, shape[0] - 1)
+    row_base = jnp.sum(row_rel * strides[1:], axis=-1)  # [..., S]
+    key_lo = row_base + x_lo[..., None]
+    key_hi = row_base + x_hi[..., None]
+
+    key_lo = jnp.where(row_valid, key_lo, 0)
+    key_hi = jnp.where(row_valid, key_hi, -1)  # -> start=end below
+
+    start = cell_start[key_lo]
+    end = cell_start[key_hi + 1]
+    start = jnp.where(row_valid, start, 0)
+    end = jnp.where(row_valid, end, 0)
+    return start, end

@@ -1,0 +1,128 @@
+"""mDBC ghost-node density extrapolation vs a brute-force transcription of
+the reference path (NeighborLoopMDBC!/ComputeInteractionsMDBC!/
+ApplyMDBCCorrection, SPHCellList.jl:219-266, 319-365, 598-622)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphexample_tpu.config import (
+    DensityDiffusionModel,
+    KernelFamily,
+    SimulationConstants,
+    ViscosityModel,
+    make_kernel,
+)
+from sphexample_tpu.ops import cell_list as cl
+from sphexample_tpu.ops.interactions import PhysicsSpec
+from sphexample_tpu.ops.mdbc import mdbc_density_correction
+from sphexample_tpu.state import allocate_particles
+
+from reference_impl import wendland_grad_w, wendland_w
+
+
+def brute_force_mdbc(kern, const, cells, pos, dens, ptype, ghost, H_inv):
+    """Full-stencil fluid-neighbor moment accumulation + det/Shepard branch."""
+    n, dims = pos.shape
+    dp = dims + 1
+    out = dens.copy()
+    gcells = (np.sign(ghost) * np.trunc(np.abs(ghost) * H_inv + 0.5)).astype(np.int64)
+    for i in range(n):
+        if not np.any(ghost[i] != 0):
+            continue
+        b = np.zeros(dp)
+        A = np.zeros((dp, dp))
+        for j in range(n):
+            if ptype[j] != 1:  # fluid only
+                continue
+            if np.max(np.abs(cells[j] - gcells[i])) > 1:
+                continue
+            xij = ghost[i] - pos[j]
+            d2 = float(xij @ xij)
+            if d2 > kern.H2:
+                continue
+            q = min(np.sqrt(d2) * kern.h_inv, 2.0)
+            w = wendland_w(kern.alpha_d, q)
+            gw = wendland_grad_w(kern.alpha_d, kern.h, q, xij)
+            vj = const.m0 / dens[j]
+            b += np.concatenate([[const.m0 * w], const.m0 * gw])
+            fc = np.concatenate([[vj * w], vj * gw])
+            e = np.concatenate([[1.0], -xij])
+            A += np.outer(fc, e)
+        if abs(np.linalg.det(A)) >= 1e-3:
+            sol = np.linalg.solve(A, b)
+            diff = pos[i] - ghost[i]
+            v = sol[0] + float(sol[1:] @ diff)
+            out[i] = const.rho0 if np.isnan(v) else v
+        elif A[0, 0] > 0:
+            v = b[0] / A[0, 0]
+            out[i] = const.rho0 if np.isnan(v) else v
+    return out
+
+
+@pytest.mark.parametrize("dims", [2, 3])
+def test_mdbc_matches_brute_force(dims):
+    rng = np.random.default_rng(7)
+    const = SimulationConstants(dx=0.05)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, dims, dx=const.dx)
+
+    n_b, n_f = 40, 160
+    n = n_b + n_f
+    # boundary slab at x<0 with ghosts pointing into the fluid, fluid at x>0
+    pos_b = rng.uniform(-0.15, 0.0, size=(n_b, dims))
+    pos_f = rng.uniform(0.0, 0.4, size=(n_f, dims))
+    pos = np.concatenate([pos_b, pos_f])
+    ghost = np.zeros_like(pos)
+    ghost[:n_b] = pos_b + np.array([0.1] + [0.0] * (dims - 1))
+    dens = rng.uniform(995, 1040, size=n)
+    ptype = np.concatenate([np.full(n_b, 2), np.full(n_f, 1)]).astype(np.int32)
+
+    parts = allocate_particles(
+        pos, dens, ptype, np.ones(n, np.int32), np.arange(1, n + 1), dtype=jnp.float64
+    )
+    parts = parts.replace(ghost_points=jnp.asarray(ghost))
+
+    grid = cl.grid_from_positions(pos, kern.H_inv, margin_cells=3)
+    sorted_p, cell_start, _ = cl.rebuild(parts, kern.H_inv, grid)
+
+    spec = PhysicsSpec(
+        constants=const, kernel=kern,
+        viscosity=ViscosityModel.ZERO, diffusion=DensityDiffusionModel.ZERO,
+    )
+    new_dens = mdbc_density_correction(
+        spec, grid, cseg=3 * 64, particles=sorted_p, cell_start=cell_start,
+        boundary_capacity=n_b,
+    )
+
+    ref = brute_force_mdbc(
+        kern, const,
+        np.asarray(sorted_p.cell), np.asarray(sorted_p.position),
+        np.asarray(sorted_p.density), np.asarray(sorted_p.ptype),
+        np.asarray(sorted_p.ghost_points), kern.H_inv,
+    )
+    np.testing.assert_allclose(np.asarray(new_dens), ref, rtol=1e-8, atol=1e-8)
+    # fluid densities untouched
+    is_fluid = np.asarray(sorted_p.ptype) == 1
+    np.testing.assert_array_equal(
+        np.asarray(new_dens)[is_fluid], np.asarray(sorted_p.density)[is_fluid]
+    )
+
+
+def test_mdbc_no_neighbors_keeps_density():
+    const = SimulationConstants(dx=0.05)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+    pos = np.array([[0.0, 0.0]])
+    ghost = np.array([[5.0, 5.0]])  # far away: zero moments
+    parts = allocate_particles(
+        pos, np.array([990.0]), np.array([2], np.int32), np.array([1], np.int32),
+        np.array([1]), dtype=jnp.float64,
+    )
+    parts = parts.replace(ghost_points=jnp.asarray(ghost))
+    grid = cl.Grid(cmin=(-2, -2), shape=(40, 40))
+    sorted_p, cell_start, _ = cl.rebuild(parts, kern.H_inv, grid)
+    spec = PhysicsSpec(
+        constants=const, kernel=kern,
+        viscosity=ViscosityModel.ZERO, diffusion=DensityDiffusionModel.ZERO,
+    )
+    out = mdbc_density_correction(spec, grid, 12, sorted_p, cell_start, 1)
+    assert float(out[0]) == pytest.approx(990.0)
