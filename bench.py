@@ -1,0 +1,106 @@
+"""Headline benchmark: particle-steps/s on the 3D dam break (Dp0.0085).
+
+Reference baseline (BASELINE.md): the Julia solver needs "1+ day" on a
+multicore CPU for this case to t_end=1.6 s; at its dt (~9e-5 s -> ~18k steps
+over ~150k particles) that is ~3e4 particle-steps/s.  North-star target:
+1e8 particle-steps/s on one TPU v5e chip.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_CPU_PSTEPS = 3.1e4  # "1+ day" baseline, see BASELINE.md
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dx", type=float, default=0.0085)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--block-size", type=int, default=512)
+    ap.add_argument("--pallas", action="store_true", default=None)
+    ap.add_argument("--no-pallas", dest="pallas", action="store_false")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from sphexample_tpu import (
+        DensityDiffusionModel,
+        KernelFamily,
+        SimulationConstants,
+        SimulationMetaData,
+        ViscosityModel,
+        assemble_simulation,
+        make_kernel,
+    )
+    from sphexample_tpu.core.step import make_fixed_steps_fn
+    from sphexample_tpu.io.casegen import dam_break_3d
+
+    # reference example/Dambreak3d.jl constants
+    dx = args.dx
+    const = SimulationConstants(dx=dx, c0=33.14, alpha=0.1, m0=1000 * dx**3, cfl=0.2)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 3, h=float(np.sqrt(3 * dx**2)))
+    use_pallas = args.pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    meta = SimulationMetaData(
+        simulation_name="bench_dambreak3d",
+        save_location="out/bench",
+        dims=3,
+        dtype=args.dtype,
+        block_size=args.block_size,
+        use_pallas=use_pallas,
+    )
+    pos, dens, ptype, grp, idp = dam_break_3d(dx)
+    sim = assemble_simulation(
+        pos, dens, ptype, grp, idp, meta, const, kern,
+        ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+    )
+    n = sim.n_live
+
+    run = make_fixed_steps_fn(sim.cfg, args.steps)
+    warm = make_fixed_steps_fn(sim.cfg, 3)
+
+    # warmup: compile both, settle the cell list
+    state = warm(sim.state)
+    jax.block_until_ready(state)
+    state2 = run(state)
+    jax.block_until_ready(state2)
+
+    t0 = time.perf_counter()
+    state3 = run(state2)
+    jax.block_until_ready(state3)
+    elapsed = time.perf_counter() - t0
+
+    psteps = n * args.steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"particle_steps_per_sec_dambreak3d_dp{dx}_n{n}",
+                "value": round(psteps, 1),
+                "unit": "particle-steps/s",
+                "vs_baseline": round(psteps / REFERENCE_CPU_PSTEPS, 2),
+            }
+        )
+    )
+    print(
+        f"# n={n} steps={args.steps} elapsed={elapsed:.3f}s backend={jax.default_backend()} "
+        f"dtype={args.dtype} block={args.block_size} pallas={use_pallas} "
+        f"t_sim={float(state3.total_time):.4f}s dt={float(state3.current_dt):.2e}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

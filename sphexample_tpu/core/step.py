@@ -40,6 +40,7 @@ from ..ops import cell_list as cl
 from ..ops.interactions import PhysicsSpec, pair_sweep
 from ..ops.mdbc import mdbc_density_correction
 from ..ops.timestep import adaptive_dt
+from ..parallel.context import SINGLE, CommContext
 from ..state import SimulationState
 from .motion import MotionTable, progress_motion
 
@@ -55,6 +56,7 @@ class StepConfig:
     block_size: int
     motion: MotionTable
     boundary_capacity: int  # number of mDBC ghost-carrying particles (static)
+    ctx: CommContext = SINGLE  # sharded comm context (single-chip by default)
 
 
 def _gravity_acc(cfg: StepConfig, particles, acc):
@@ -70,20 +72,22 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     c = spec.constants
     kern = spec.kernel
     meta = cfg.meta
+    ctx = cfg.ctx
     p = state.particles
 
     # 00 - displacement accumulator: dx += 4 * max |pos_half - pos|
     disp = jnp.sqrt(jnp.sum((state.position_half - p.position) ** 2, axis=-1))
-    dx_acc = dx_acc + 4.0 * jnp.max(disp)
+    dx_acc = dx_acc + 4.0 * ctx.pmax(jnp.max(disp))
 
     # 01 - adaptive dt
-    dt = adaptive_dt(p.position, p.velocity, p.acceleration, c, kern)
+    dt = adaptive_dt(p.position, p.velocity, p.acceleration, c, kern, ctx)
     dt2 = dt * 0.5
 
     # 02 - lazy rebuild when dx >= h
     def do_rebuild(p_in):
-        sorted_p, cell_start, occ = cl.rebuild(p_in, kern.H_inv, cfg.grid)
-        nblk = jnp.arange(sorted_p.capacity, dtype=jnp.int32) // cfg.block_size
+        sorted_p, cell_start, occ = cl.rebuild(p_in, kern.H_inv, cfg.grid, ctx)
+        base = ctx.rank() * sorted_p.capacity
+        nblk = (base + jnp.arange(sorted_p.capacity, dtype=jnp.int32)) // cfg.block_size
         sorted_p = sorted_p.replace(chunk_id=nblk)
         return sorted_p, cell_start, occ, jnp.zeros_like(dx_acc)
 
@@ -106,14 +110,25 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     if meta.mdbc is MDBCMode.SIMPLE:
         p = p.replace(
             density=mdbc_density_correction(
-                spec, cfg.grid, cfg.cseg, p, cell_start, cfg.boundary_capacity
+                spec, cfg.grid, cfg.cseg, p, cell_start, cfg.boundary_capacity,
+                global_position=ctx.gather(p.position),
+                global_density=ctx.gather(p.density),
+                global_ptype=ctx.gather(p.ptype),
             )
         )
+
+    idx_base = ctx.rank() * p.capacity
 
     # 05 - first neighbor sweep (predictor forces)
     out1 = pair_sweep(
         spec, cfg.grid, cfg.cseg, cfg.block_size,
-        p, cell_start, p.position, p.density, p.pressure, p.velocity,
+        p, cell_start,
+        ctx.gather(p.position), ctx.gather(p.density),
+        ctx.gather(p.pressure), ctx.gather(p.velocity),
+        global_ml=ctx.gather(p.motion_limiter),
+        local_position=p.position, local_density=p.density,
+        local_pressure=p.pressure, local_velocity=p.velocity,
+        idx_base=idx_base,
     )
 
     # 06 - half step predictor (reference HalfTimeStep, :624-638)
@@ -137,7 +152,13 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     # 08 - second neighbor sweep (corrector forces, on half-step fields)
     out2 = pair_sweep(
         spec, cfg.grid, cfg.cseg, cfg.block_size,
-        p, cell_start, pos_half, rho_half, p.pressure, vel_half,
+        p, cell_start,
+        ctx.gather(pos_half), ctx.gather(rho_half),
+        ctx.gather(p.pressure), ctx.gather(vel_half),
+        global_ml=ctx.gather(p.motion_limiter),
+        local_position=pos_half, local_density=rho_half,
+        local_pressure=p.pressure, local_velocity=vel_half,
+        idx_base=idx_base,
     )
 
     # 09 - clamp density at boundaries (before the corrector, reference :794)

@@ -39,8 +39,12 @@ def density_epsi(density, drhodt, rho_half, dt):
     """Symplectic density corrector (reference SimulationEquations.jl:28-33).
 
     epsilon = -(drhodt / rho_half) dt;  rho *= (2 - eps) / (2 + eps).
+
+    Inactive padding slots carry rho == 0; guard the division so they stay
+    finite (live particles never reach zero density in WCSPH).
     """
-    eps = -(drhodt / rho_half) * dt
+    ratio = jnp.where(rho_half != 0, drhodt / jnp.where(rho_half != 0, rho_half, 1.0), 0.0)
+    eps = -ratio * dt
     return density * (2.0 - eps) / (2.0 + eps)
 
 

@@ -106,7 +106,7 @@ def estimate_max_per_cell(positions: np.ndarray, inv_cutoff: float) -> int:
     return int(math.ceil(occ * 1.5)) + 8
 
 
-def rebuild(particles: Particles, inv_cutoff, grid: Grid):
+def rebuild(particles: Particles, inv_cutoff, grid: Grid, ctx=None):
     """Assign cells, sort all particle fields by linear key, build segment
     starts.  Returns (sorted particles, cell_start, max_occupancy).
 
@@ -114,16 +114,34 @@ def rebuild(particles: Particles, inv_cutoff, grid: Grid):
     the RLE scan + CellDict become a dense ``cell_start`` array of length
     ncells+2 (cell k occupies sorted indices [cell_start[k], cell_start[k+1])),
     with the parking cell for inactive padding at key ``ncells``.
+
+    Under ``shard_map`` (``ctx`` sharded): keys are all-gathered, every device
+    computes the identical *global* permutation (replicated argsort - no
+    scatter communication), then re-gathers its contiguous slab of the
+    globally sorted order.  ``cell_start`` indexes global sorted positions.
     """
+    from ..parallel.context import SINGLE
+
+    ctx = ctx or SINGLE
     coords = cell_coords(particles.position, inv_cutoff)
     coords = clamp_coords(coords, grid)
     keys = linearize(coords, grid)
     keys = jnp.where(particles.active, keys, grid.parking_key)
 
-    perm = jnp.argsort(keys, stable=True)
-    sorted_keys = jnp.take(keys, perm, axis=0)
-    sorted_parts = particles.permute(perm)
-    sorted_parts = sorted_parts.replace(cell=jnp.take(coords, perm, axis=0))
+    keys_g = ctx.gather(keys)
+    perm = jnp.argsort(keys_g, stable=True)
+    sorted_keys = jnp.take(keys_g, perm, axis=0)
+
+    cap_local = particles.capacity
+    if ctx.is_sharded:
+        slab = jax.lax.dynamic_slice(perm, (ctx.rank() * cap_local,), (cap_local,))
+        sorted_parts = jax.tree.map(
+            lambda a: jnp.take(ctx.gather(a), slab, axis=0), particles
+        )
+        sorted_parts = sorted_parts.replace(cell=jnp.take(ctx.gather(coords), slab, axis=0))
+    else:
+        sorted_parts = particles.permute(perm)
+        sorted_parts = sorted_parts.replace(cell=jnp.take(coords, perm, axis=0))
 
     edges = jnp.arange(grid.ncells + 2, dtype=sorted_keys.dtype)
     cell_start = jnp.searchsorted(sorted_keys, edges, side="left").astype(jnp.int32)

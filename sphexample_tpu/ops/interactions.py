@@ -52,6 +52,11 @@ class PhysicsSpec:
     kernel_output: KernelOutputMode = KernelOutputMode.NONE
 
 
+def particles_field(local, global_):
+    """Default the local view to the global array (single-chip case)."""
+    return global_ if local is None else local
+
+
 class SweepOut(NamedTuple):
     """Per-particle accumulators produced by one neighbor sweep.  Optional
     outputs are ``None`` when their mode is off - the trace never emits them
@@ -74,14 +79,25 @@ def pair_sweep(
     grid: Grid,
     cseg: int,
     block_size: int,
-    particles,              # sorted Particles (cell / motion_limiter / active)
-    cell_start,             # [ncells+2] int32
-    position,               # [N, D] - sweep field set (state or half-step)
-    density,                # [N]
-    pressure,               # [N]
-    velocity,               # [N, D]
+    particles,              # LOCAL sorted Particles (cell / motion_limiter / active)
+    cell_start,             # [ncells+2] int32 - built from GLOBAL sorted keys
+    position,               # [Ng, D] GLOBAL sweep field set (state or half-step)
+    density,                # [Ng]
+    pressure,               # [Ng]
+    velocity,               # [Ng, D]
+    global_ml=None,         # [Ng] - defaults to particles.motion_limiter
+    local_position=None,    # [Nl, D] - the local rows of `position`
+    local_density=None,
+    local_pressure=None,
+    local_velocity=None,
+    idx_base=0,             # global sorted index of local row 0 (sharded runs)
 ) -> SweepOut:
-    """One full neighbor sweep over all particles.
+    """One full neighbor sweep over the local particle rows.
+
+    Single-chip: local == global and ``idx_base`` is 0.  Under ``shard_map``
+    each device passes its slab as the ``particles``/``local_*`` arguments and
+    the all-gathered arrays as the global ones; ``cell_start`` indexes into
+    global sorted order and ``idx_base`` offsets self-indices into it.
 
     ``cseg`` is the static per-row candidate capacity (>= 3 * max cell
     occupancy); ``block_size`` chunks the particle axis.
@@ -89,9 +105,12 @@ def pair_sweep(
     kern = spec.kernel
     c = spec.constants
     n = position.shape[0]
-    dims = position.shape[1]
 
-    ml = particles.motion_limiter
+    ml = particles.motion_limiter if global_ml is None else global_ml
+    local_position = particles_field(local_position, position)
+    local_density = particles_field(local_density, density)
+    local_pressure = particles_field(local_pressure, pressure)
+    local_velocity = particles_field(local_velocity, velocity)
     want_kernel = spec.kernel_output is KernelOutputMode.STORE
     want_shift = spec.shifting is ShiftingMode.PLANAR
 
@@ -116,6 +135,11 @@ def pair_sweep(
         xij = pos_i[None, :] - pos_j
         d2 = _dot(xij, xij)
         within = valid & (d2 <= kern.H2) & (j != idx_i) & act_i
+
+        # Masked lanes may gather inactive padding rows (density 0); divisions
+        # there would produce inf, and inf * 0-mask = NaN poisons the sums.
+        # Substituting a benign density on masked lanes changes nothing valid.
+        rho_j = jnp.where(within, rho_j, jnp.ones_like(rho_j))
 
         d = jnp.sqrt(d2)
         q = jnp.clip(d * kern.h_inv, 0.0, 2.0)
@@ -163,18 +187,19 @@ def pair_sweep(
             out["div_r"] = jnp.sum(dr * mf)
         return out
 
-    idx = jnp.arange(n, dtype=jnp.int32)
+    n_local = local_position.shape[0]
+    idx = idx_base + jnp.arange(n_local, dtype=jnp.int32)
     xs = (
         idx,
         particles.cell,
-        position,
-        density,
-        pressure,
-        velocity,
-        ml,
+        local_position,
+        local_density,
+        local_pressure,
+        local_velocity,
+        particles.motion_limiter,
         particles.active,
     )
-    bs = min(block_size, n)
+    bs = min(block_size, n_local)
     out = jax.lax.map(particle_fn, xs, batch_size=bs)
 
     return SweepOut(

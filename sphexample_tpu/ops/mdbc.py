@@ -84,6 +84,9 @@ def mdbc_density_correction(
     particles,
     cell_start,
     boundary_capacity: int,
+    global_position=None,
+    global_density=None,
+    global_ptype=None,
 ):
     """Return the corrected density array.
 
@@ -97,8 +100,10 @@ def mdbc_density_correction(
     """
     kern = spec.kernel
     c = spec.constants
-    n = particles.capacity
-    dims = particles.dims
+    g_pos = particles.position if global_position is None else global_position
+    g_rho = particles.density if global_density is None else global_density
+    g_typ = particles.ptype if global_ptype is None else global_ptype
+    n = g_pos.shape[0]
 
     ghost = particles.ghost_points
     has_ghost = jnp.any(ghost != 0, axis=-1) & particles.active
@@ -117,9 +122,9 @@ def mdbc_density_correction(
     j = jnp.clip(j, 0, n - 1).reshape(B, -1)
     valid = valid.reshape(B, -1)
 
-    pos_j = particles.position[j]
-    rho_j = particles.density[j]
-    is_fluid = particles.ptype[j] == int(ParticleType.FLUID)
+    pos_j = g_pos[j]
+    rho_j = g_rho[j]
+    is_fluid = g_typ[j] == int(ParticleType.FLUID)
 
     xij = gpoint[:, None, :] - pos_j                       # ghost -> fluid
     d2 = jnp.sum(xij * xij, axis=-1)
@@ -130,6 +135,8 @@ def mdbc_density_correction(
     w = K.W(kern, q)
     grad_w = K.grad_W(kern, q, xij)
 
+    # guard masked lanes against inactive-padding densities (see interactions)
+    rho_j = jnp.where(within, rho_j, jnp.ones_like(rho_j))
     mf = within.astype(w.dtype)
     # b = sum m0 [W, gradW]  (reference SPHCellList.jl:351)
     bvec = jnp.concatenate(

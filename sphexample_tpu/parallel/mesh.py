@@ -1,0 +1,130 @@
+"""Multi-chip execution: shard an assembled simulation over a device mesh.
+
+The particle axis is partitioned in global cell-sorted order (see
+``parallel.context``); the step function itself is unchanged - it runs under
+``shard_map`` with a sharded :class:`CommContext`, its all-gathers and
+pmin/pmax lowering to XLA collectives over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core.driver import Simulation
+from ..core.step import StepConfig, sph_step
+from ..state import Particles, SimulationState
+from .context import CommContext
+
+AXIS = "particles"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def _particle_specs(axis: str) -> Particles:
+    pp = P(axis)
+    return Particles(
+        cell=pp, chunk_id=pp, kernel_w=pp, kernel_grad=pp, position=pp,
+        acceleration=pp, velocity=pp, density=pp, pressure=pp,
+        gravity_factor=pp, motion_limiter=pp, boundary_bool=pp, id=pp,
+        ptype=pp, group_marker=pp, ghost_points=pp, ghost_normals=pp,
+        active=pp,
+    )
+
+
+def state_specs(axis: str = AXIS) -> SimulationState:
+    return SimulationState(
+        particles=_particle_specs(axis),
+        cell_start=P(),
+        total_time=P(),
+        current_dt=P(),
+        iteration=P(),
+        max_occupancy=P(),
+        position_half=P(axis),
+    )
+
+
+def pad_capacity(state: SimulationState, new_capacity: int) -> SimulationState:
+    """Grow the particle capacity with inactive padding slots (host-side)."""
+    old = state.particles.capacity
+    if new_capacity == old:
+        return state
+    if new_capacity < old:
+        raise ValueError("cannot shrink capacity")
+    extra = new_capacity - old
+
+    def pad(a):
+        if a.ndim == 0 or a.shape[0] != old:
+            return a
+        pad_block = jnp.zeros((extra,) + a.shape[1:], dtype=a.dtype)
+        return jnp.concatenate([a, pad_block], axis=0)
+
+    parts = jax.tree.map(pad, state.particles)
+    parts = parts.replace(
+        id=parts.id.at[old:].set(-1),
+        active=parts.active.at[old:].set(False),
+    )
+    return state.replace(particles=parts, position_half=pad(state.position_half))
+
+
+def make_sharded_interval_fn(cfg: StepConfig, mesh: Mesh, axis: str = AXIS):
+    """shard_map the per-interval while-loop over the mesh."""
+    ctx = CommContext(axis=axis, num_devices=mesh.shape[axis])
+    cfg = dataclasses.replace(cfg, ctx=ctx)
+    specs = state_specs(axis)
+
+    def interval(state: SimulationState, t_out) -> SimulationState:
+        dx0 = jnp.asarray(1.0 + cfg.spec.kernel.h, dtype=state.total_time.dtype)
+
+        def cond(carry):
+            s, _ = carry
+            return s.total_time <= t_out
+
+        def body(carry):
+            s, dx_acc = carry
+            return sph_step(cfg, s, dx_acc)
+
+        final, _ = jax.lax.while_loop(cond, body, (state, dx0))
+        return final
+
+    sharded = shard_map(
+        interval,
+        mesh=mesh,
+        in_specs=(specs, P()),
+        out_specs=specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded), cfg
+
+
+def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = AXIS) -> Simulation:
+    """Return a copy of ``sim`` whose state lives sharded over ``mesh`` and
+    whose interval function runs SPMD.  Capacity is padded up to a multiple of
+    the mesh size."""
+    mesh = mesh or make_mesh()
+    ndev = mesh.shape[axis]
+    cap = sim.state.particles.capacity
+    new_cap = int(-(-cap // ndev) * ndev)
+    state = pad_capacity(sim.state, new_cap)
+
+    interval_fn, cfg = make_sharded_interval_fn(sim.cfg, mesh, axis)
+    specs = state_specs(axis)
+    shardings = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    state = jax.device_put(state, shardings)
+
+    return Simulation(
+        cfg=cfg, state=state, meta=sim.meta, n_live=sim.n_live, interval_fn=interval_fn
+    )

@@ -1,0 +1,96 @@
+"""Multi-chip sharding: the shard_map step must reproduce the single-chip
+trajectory on a virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphexample_tpu import (
+    DensityDiffusionModel,
+    KernelFamily,
+    MDBCMode,
+    SimulationConstants,
+    SimulationMetaData,
+    ViscosityModel,
+    assemble_simulation,
+    make_kernel,
+)
+from sphexample_tpu.parallel.mesh import make_mesh, shard_simulation
+
+
+def _dam_break_setup(n_side=10, mdbc=False):
+    """Small 2D blob of fluid in a box of fixed boundary particles."""
+    const = SimulationConstants(dx=0.02, c0=40.0, cfl=0.3)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+    dx = const.dx
+    # fluid block
+    xs, zs = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+    fluid = np.stack([xs.ravel() * dx, zs.ravel() * dx + dx], axis=-1)
+    # floor
+    floor_x = np.arange(-4, n_side + 4) * dx
+    floor = np.stack([floor_x, np.full_like(floor_x, 0.0)], axis=-1)
+    pos = np.concatenate([floor, fluid])
+    nb, nf = len(floor), len(fluid)
+    ptype = np.concatenate([np.full(nb, 2), np.full(nf, 1)]).astype(np.int32)
+    dens = np.full(len(pos), const.rho0)
+    idp = np.arange(1, len(pos) + 1)
+    grp = np.ones(len(pos), np.int32)
+
+    meta = SimulationMetaData(
+        simulation_name="shard", save_location=".", dims=2, dtype="float64",
+        simulation_time=0.05, output_times=0.01, block_size=32,
+        grid_margin_cells=4,
+        mdbc=MDBCMode.SIMPLE if mdbc else MDBCMode.NONE,
+    )
+    ghost = None
+    ghostn = None
+    if mdbc:
+        ghost = floor + np.array([0.0, dx])
+        ghostn = np.tile(np.array([[0.0, dx]]), (nb, 1))
+    sim = assemble_simulation(
+        pos, dens, ptype, grp, idp, meta, const, kern,
+        ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+        ghost_points=ghost, ghost_normals=ghostn,
+    )
+    return sim
+
+
+@pytest.mark.parametrize("mdbc", [False, True])
+def test_sharded_matches_single_chip(mdbc):
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual CPU devices"
+    sim_single = _dam_break_setup(mdbc=mdbc)
+    sim_shard = shard_simulation(_dam_break_setup(mdbc=mdbc), make_mesh(8))
+
+    t_out = jnp.asarray(0.01, dtype=jnp.float64)
+    final_single = sim_single.interval_fn(sim_single.state, t_out)
+    final_shard = sim_shard.interval_fn(sim_shard.state, t_out)
+
+    assert int(final_shard.iteration) == int(final_single.iteration)
+    np.testing.assert_allclose(
+        float(final_shard.total_time), float(final_single.total_time), rtol=1e-12
+    )
+
+    # compare per-particle state in ID order (orders may differ via padding)
+    def by_id(state, n):
+        ids = np.asarray(state.particles.id)
+        order = np.argsort(ids)
+        order = order[ids[order] > 0]
+        return order
+
+    n = sim_single.n_live
+    o1 = by_id(final_single, n)
+    o2 = by_id(final_shard, n)
+    for field in ("position", "velocity", "density", "pressure", "acceleration"):
+        a = np.asarray(getattr(final_single.particles, field))[o1]
+        b = np.asarray(getattr(final_shard.particles, field))[o2]
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12, err_msg=field)
+
+
+def test_mesh_capacity_padding():
+    sim = _dam_break_setup()
+    n0 = sim.state.particles.capacity
+    sharded = shard_simulation(sim, make_mesh(8))
+    cap = sharded.state.particles.capacity
+    assert cap % 8 == 0 and cap >= n0
+    assert int(jnp.sum(sharded.state.particles.active)) == sim.n_live
