@@ -72,15 +72,20 @@ def main():
     run = make_fixed_steps_fn(sim.cfg, args.steps)
     warm = make_fixed_steps_fn(sim.cfg, 3)
 
+    def sync(s):
+        # block_until_ready on tunneled (axon) arrays can return early; a
+        # scalar device->host fetch is the reliable completion barrier.
+        return float(s.total_time)
+
     # warmup: compile both, settle the cell list
     state = warm(sim.state)
-    jax.block_until_ready(state)
+    sync(state)
     state2 = run(state)
-    jax.block_until_ready(state2)
+    sync(state2)
 
     t0 = time.perf_counter()
     state3 = run(state2)
-    jax.block_until_ready(state3)
+    sync(state3)
     elapsed = time.perf_counter() - t0
 
     psteps = n * args.steps / elapsed

@@ -76,6 +76,22 @@ def assemble_simulation(
     dtype = _dtype_of(meta)
     n = len(density)
 
+    grid = cl.grid_from_positions(position, kernel.H_inv, meta.grid_margin_cells)
+    mpc = meta.max_per_cell or cl.estimate_max_per_cell(position, kernel.H_inv)
+    if meta.use_pallas:
+        # Pallas windows: self window multiple of 8 (sublane), candidate
+        # segment multiple of 128 (lane); DMA windows must fit the capacity.
+        mpc_pad = -(-mpc // 8) * 8
+        cseg = -(-(3 * mpc) // 128) * 128
+        # tail padding keeps the kernel's aligned self-window clamp from
+        # ever binding on a live cell; capacity must be a 128 multiple
+        # (see ops/pallas_sweep.py)
+        capacity = max(capacity or 0, n + 256, cseg + 128)
+        capacity = -(-capacity // 128) * 128
+    else:
+        mpc_pad = mpc
+        cseg = 3 * mpc
+
     particles = allocate_particles(
         position, density, ptype, group_marker, idp, dtype=dtype, capacity=capacity
     )
@@ -98,10 +114,6 @@ def assemble_simulation(
     # Initial pressure (reference RunSimulation, SPHCellList.jl:835)
     particles = particles.replace(pressure=eq.pressure(particles.density, constants))
 
-    grid = cl.grid_from_positions(position, kernel.H_inv, meta.grid_margin_cells)
-    mpc = meta.max_per_cell or cl.estimate_max_per_cell(position, kernel.H_inv)
-    cseg = 3 * mpc
-
     spec = PhysicsSpec(
         constants=constants,
         kernel=kernel,
@@ -118,6 +130,9 @@ def assemble_simulation(
         block_size=meta.block_size,
         motion=build_motion_table(geometries, dims),
         boundary_capacity=max(1, n_ghost),
+        use_pallas=meta.use_pallas,
+        mpc=mpc_pad,
+        maxc=min(grid.ncells, int(particles.capacity)),
     )
 
     zero = jnp.zeros((), dtype=dtype)
@@ -179,6 +194,8 @@ def run_simulation(
         save_callback(counter, state)
 
     mpc_budget = sim.cfg.cseg // 3
+    if sim.cfg.use_pallas:
+        mpc_budget = min(mpc_budget, sim.cfg.mpc)
     t_wall0 = time.perf_counter()
     intervals = 0
     while True:

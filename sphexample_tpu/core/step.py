@@ -57,6 +57,35 @@ class StepConfig:
     motion: MotionTable
     boundary_capacity: int  # number of mDBC ghost-carrying particles (static)
     ctx: CommContext = SINGLE  # sharded comm context (single-chip by default)
+    # fused Pallas sweep (single-chip TPU hot path)
+    use_pallas: bool = False
+    mpc: int = 0            # self-window capacity (multiple of 8)
+    maxc: int = 0           # occupied-cell list capacity
+    pallas_interpret: bool = False  # CPU interpreter mode (tests)
+
+
+def _sweep(cfg: StepConfig, p, cell_start, position, density, pressure, velocity,
+           idx_base):
+    """Dispatch one neighbor sweep to the Pallas or XLA path."""
+    if cfg.use_pallas and not cfg.ctx.is_sharded:
+        from ..ops.pallas_sweep import pallas_pair_sweep
+
+        return pallas_pair_sweep(
+            cfg.spec, cfg.grid, cfg.mpc, cfg.cseg, cfg.maxc,
+            p, cell_start, position, density, pressure, velocity,
+            interpret=cfg.pallas_interpret,
+        )
+    ctx = cfg.ctx
+    return pair_sweep(
+        cfg.spec, cfg.grid, cfg.cseg, cfg.block_size,
+        p, cell_start,
+        ctx.gather(position), ctx.gather(density),
+        ctx.gather(pressure), ctx.gather(velocity),
+        global_ml=ctx.gather(p.motion_limiter),
+        local_position=position, local_density=density,
+        local_pressure=pressure, local_velocity=velocity,
+        idx_base=idx_base,
+    )
 
 
 def _gravity_acc(cfg: StepConfig, particles, acc):
@@ -120,16 +149,8 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     idx_base = ctx.rank() * p.capacity
 
     # 05 - first neighbor sweep (predictor forces)
-    out1 = pair_sweep(
-        spec, cfg.grid, cfg.cseg, cfg.block_size,
-        p, cell_start,
-        ctx.gather(p.position), ctx.gather(p.density),
-        ctx.gather(p.pressure), ctx.gather(p.velocity),
-        global_ml=ctx.gather(p.motion_limiter),
-        local_position=p.position, local_density=p.density,
-        local_pressure=p.pressure, local_velocity=p.velocity,
-        idx_base=idx_base,
-    )
+    out1 = _sweep(cfg, p, cell_start, p.position, p.density, p.pressure,
+                  p.velocity, idx_base)
 
     # 06 - half step predictor (reference HalfTimeStep, :624-638)
     acc = _gravity_acc(cfg, p, out1.acceleration)
@@ -150,16 +171,8 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     p = p.replace(pressure=eq.pressure(rho_half, c))
 
     # 08 - second neighbor sweep (corrector forces, on half-step fields)
-    out2 = pair_sweep(
-        spec, cfg.grid, cfg.cseg, cfg.block_size,
-        p, cell_start,
-        ctx.gather(pos_half), ctx.gather(rho_half),
-        ctx.gather(p.pressure), ctx.gather(vel_half),
-        global_ml=ctx.gather(p.motion_limiter),
-        local_position=pos_half, local_density=rho_half,
-        local_pressure=p.pressure, local_velocity=vel_half,
-        idx_base=idx_base,
-    )
+    out2 = _sweep(cfg, p, cell_start, pos_half, rho_half, p.pressure, vel_half,
+                  idx_base)
 
     # 09 - clamp density at boundaries (before the corrector, reference :794)
     density = eq.limit_density_at_boundary(p.density, c.rho0, p.motion_limiter)

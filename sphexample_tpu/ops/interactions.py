@@ -136,10 +136,13 @@ def pair_sweep(
         d2 = _dot(xij, xij)
         within = valid & (d2 <= kern.H2) & (j != idx_i) & act_i
 
-        # Masked lanes may gather inactive padding rows (density 0); divisions
-        # there would produce inf, and inf * 0-mask = NaN poisons the sums.
-        # Substituting a benign density on masked lanes changes nothing valid.
+        # Masked lanes may gather inactive padding rows (density 0), and an
+        # inactive *self* row has density 0 as well; divisions there produce
+        # inf, and inf * 0-mask = NaN poisons the sums (and, downstream, the
+        # rebuild-trigger displacement max).  Substituting a benign density on
+        # masked lanes / inactive selves changes nothing valid.
         rho_j = jnp.where(within, rho_j, jnp.ones_like(rho_j))
+        rho_i = jnp.where(act_i, rho_i, jnp.ones_like(rho_i))
 
         d = jnp.sqrt(d2)
         q = jnp.clip(d * kern.h_inv, 0.0, 2.0)
