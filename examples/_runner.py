@@ -1,0 +1,72 @@
+"""Shared CLI runner for the example cases (logger + VTKHDF output wiring)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def standard_argparser(default_save: str) -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t-end", type=float, default=None)
+    ap.add_argument("--save", default=default_save)
+    ap.add_argument("--input", default="/root/reference/input")
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--pallas", action="store_true", help="fused Pallas sweep (TPU)")
+    ap.add_argument("--max-intervals", type=int, default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=None,
+                    help="write a resume checkpoint every N outputs")
+    return ap
+
+
+def apply_backend_args(args):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+
+def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
+             particle_normals_path=None):
+    from sphexample_tpu import build_simulation, run_simulation
+    from sphexample_tpu.io.checkpoint import save_checkpoint
+    from sphexample_tpu.io.output import OutputManager
+    from sphexample_tpu.io.paraview import write_paraview_state
+    from sphexample_tpu.io.vtkhdf import clean_simulation_folder
+    from sphexample_tpu.utils.logger import SimulationLogger
+
+    clean_simulation_folder(meta.save_location)
+    sim = build_simulation(
+        geoms, meta, const, kern, viscosity, diffusion,
+        particle_normals_path=particle_normals_path,
+    )
+
+    logger = SimulationLogger(meta.save_location)
+    logger.initialize(meta, const, kern, viscosity.value, diffusion.value,
+                      geoms, sim.n_live)
+    out = OutputManager(meta, kern, sim.cfg.grid, sim.n_live)
+
+    def save(counter, state):
+        out.save(counter, state)
+        if args.checkpoint_every and counter % args.checkpoint_every == 0:
+            save_checkpoint(
+                os.path.join(meta.save_location, "checkpoint.npz"), state, counter
+            )
+
+    run_simulation(
+        sim,
+        save_callback=save,
+        log_callback=lambda info: logger.log_step(info, meta.simulation_time),
+        max_intervals=args.max_intervals,
+    )
+    out.close()
+    logger.log_final(sim.state)
+    write_paraview_state(meta)
+    logger.close()
+    return sim

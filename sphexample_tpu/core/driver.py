@@ -79,10 +79,15 @@ def assemble_simulation(
     grid = cl.grid_from_positions(position, kernel.H_inv, meta.grid_margin_cells)
     mpc = meta.max_per_cell or cl.estimate_max_per_cell(position, kernel.H_inv)
     if meta.use_pallas:
-        # Pallas windows: self window multiple of 8 (sublane), candidate
-        # segment multiple of 128 (lane); DMA windows must fit the capacity.
-        mpc_pad = -(-mpc // 8) * 8
-        cseg = -(-(3 * mpc) // 128) * 128
+        # Pallas windows sized from the measured initial geometry with 25%
+        # headroom (runtime telemetry raises if occupancy outgrows them):
+        # self window multiple of 8 (sublane), candidate segment multiple of
+        # 128 (lane); DMA windows must fit the capacity.
+        occ0, seg0 = cl.measure_occupancy(position, kernel.H_inv, grid)
+        mpc_exact = meta.max_per_cell or int(occ0 * 1.25) + 2
+        mpc_pad = min(128, -(-mpc_exact // 8) * 8)
+        cseg = -(-(int(seg0 * 1.25) + 2) // 128) * 128
+        mpc = mpc_pad
         # tail padding keeps the kernel's aligned self-window clamp from
         # ever binding on a live cell; capacity must be a 128 multiple
         # (see ops/pallas_sweep.py)
@@ -143,6 +148,7 @@ def assemble_simulation(
         current_dt=zero,
         iteration=jnp.zeros((), dtype=jnp.int32),
         max_occupancy=jnp.zeros((), dtype=jnp.int32),
+        max_segment=jnp.zeros((), dtype=jnp.int32),
         position_half=jnp.zeros_like(particles.position),
     )
     return Simulation(cfg=cfg, state=state, meta=meta, n_live=n)
@@ -193,9 +199,7 @@ def run_simulation(
     if save_callback is not None:
         save_callback(counter, state)
 
-    mpc_budget = sim.cfg.cseg // 3
-    if sim.cfg.use_pallas:
-        mpc_budget = min(mpc_budget, sim.cfg.mpc)
+    mpc_budget = sim.cfg.mpc if sim.cfg.use_pallas else sim.cfg.cseg // 3
     t_wall0 = time.perf_counter()
     intervals = 0
     while True:
@@ -210,6 +214,11 @@ def run_simulation(
             raise RuntimeError(
                 f"cell occupancy {occ} exceeded the static budget {mpc_budget}; "
                 f"rebuild with SimulationMetaData.max_per_cell >= {occ}"
+            )
+        if sim.cfg.use_pallas and int(state.max_segment) > sim.cfg.cseg:
+            raise RuntimeError(
+                f"stencil-row segment {int(state.max_segment)} exceeded the "
+                f"candidate window {sim.cfg.cseg}; raise max_per_cell"
             )
 
         if save_callback is not None:

@@ -118,13 +118,17 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
         base = ctx.rank() * sorted_p.capacity
         nblk = (base + jnp.arange(sorted_p.capacity, dtype=jnp.int32)) // cfg.block_size
         sorted_p = sorted_p.replace(chunk_id=nblk)
-        return sorted_p, cell_start, occ, jnp.zeros_like(dx_acc)
+        seg = cl.max_row_segment(cell_start, cfg.grid)
+        return sorted_p, cell_start, occ, seg, jnp.zeros_like(dx_acc)
 
     def no_rebuild(p_in):
-        return p_in, state.cell_start, state.max_occupancy, dx_acc
+        return p_in, state.cell_start, state.max_occupancy, state.max_segment, dx_acc
 
-    p, cell_start, occ, dx_acc = jax.lax.cond(dx_acc >= kern.h, do_rebuild, no_rebuild, p)
+    p, cell_start, occ, seg, dx_acc = jax.lax.cond(
+        dx_acc >= kern.h, do_rebuild, no_rebuild, p
+    )
     occ = jnp.maximum(occ, state.max_occupancy)
+    seg = jnp.maximum(seg, state.max_segment)
 
     # -- motion (first half, reference :765)
     pos, vel = progress_motion(cfg.motion, p, state.total_time, dt2)
@@ -149,7 +153,8 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     idx_base = ctx.rank() * p.capacity
 
     # 05 - first neighbor sweep (predictor forces)
-    out1 = _sweep(cfg, p, cell_start, p.position, p.density, p.pressure,
+    with jax.named_scope("05_first_neighbor_sweep"):
+        out1 = _sweep(cfg, p, cell_start, p.position, p.density, p.pressure,
                   p.velocity, idx_base)
 
     # 06 - half step predictor (reference HalfTimeStep, :624-638)
@@ -171,7 +176,8 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     p = p.replace(pressure=eq.pressure(rho_half, c))
 
     # 08 - second neighbor sweep (corrector forces, on half-step fields)
-    out2 = _sweep(cfg, p, cell_start, pos_half, rho_half, p.pressure, vel_half,
+    with jax.named_scope("08_second_neighbor_sweep"):
+        out2 = _sweep(cfg, p, cell_start, pos_half, rho_half, p.pressure, vel_half,
                   idx_base)
 
     # 09 - clamp density at boundaries (before the corrector, reference :794)
@@ -216,6 +222,7 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
         current_dt=dt,
         iteration=state.iteration + 1,
         max_occupancy=occ,
+        max_segment=seg,
         position_half=pos_half,
     )
     return new_state, dx_acc

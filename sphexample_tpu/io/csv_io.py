@@ -18,12 +18,25 @@ from ..config import Geometry
 
 
 def load_particle_csv(path: str, dims: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (points [n, dims], density [n], idp [n])."""
-    df = pd.read_csv(path)
-    if dims == 3:
-        pts = df[["Points:0", "Points:1", "Points:2"]].to_numpy(dtype=np.float64)
-    else:
-        pts = df[["Points:0", "Points:2"]].to_numpy(dtype=np.float64)
+    """Returns (points [n, dims], density [n], idp [n]).
+
+    Uses the native C++ parser (io/native.py) when available, with a pandas
+    fallback."""
+    pt_cols = ["Points:0", "Points:1", "Points:2"] if dims == 3 else ["Points:0", "Points:2"]
+    cols = pt_cols + ["Rhop", "Idp"]
+
+    from .native import read_csv_columns
+
+    arr = read_csv_columns(path, cols)
+    if arr is not None:
+        pts = arr[:, : len(pt_cols)]
+        rho = arr[:, len(pt_cols)]
+        idp = arr[:, len(pt_cols) + 1].astype(np.int64) + 1
+        return pts, rho, idp
+
+    df = pd.read_csv(path, skipinitialspace=True)
+    df.columns = [c.strip().strip('"') for c in df.columns]
+    pts = df[pt_cols].to_numpy(dtype=np.float64)
     rho = df["Rhop"].to_numpy(dtype=np.float64)
     idp = df["Idp"].to_numpy(dtype=np.int64) + 1
     return pts, rho, idp
@@ -55,7 +68,8 @@ def load_geometries(
 def load_boundary_normals(path: str, dims: int):
     """Returns (points, ghost_points, normals), each [n, dims]
     (reference LoadBoundaryNormals, PreProcess.jl:217-243)."""
-    df = pd.read_csv(path)
+    df = pd.read_csv(path, skipinitialspace=True)
+    df.columns = [c.strip().strip('"') for c in df.columns]
     if dims == 3:
         nrm = df[["Normal:0", "Normal:1", "Normal:2"]].to_numpy(dtype=np.float64)
         pts = df[["Points:0", "Points:1", "Points:2"]].to_numpy(dtype=np.float64)

@@ -97,6 +97,30 @@ def grid_from_positions(
     return Grid(cmin=tuple(int(v) for v in cmin), shape=tuple(int(v) for v in (cmax - cmin + 1)))
 
 
+def measure_occupancy(positions: np.ndarray, inv_cutoff: float, grid: Grid):
+    """Host-side: (max cell occupancy, max 3-cell stencil-row segment length)
+    of the initial configuration - used to size the Pallas windows."""
+    c = (np.sign(positions) * np.trunc(np.abs(positions) * inv_cutoff + 0.5)).astype(np.int64)
+    c = np.clip(c, np.asarray(grid.cmin), np.asarray(grid.cmin) + np.asarray(grid.shape) - 1)
+    rel = c - np.asarray(grid.cmin)
+    key = (rel * np.asarray(grid.strides)).sum(axis=1)
+    counts = np.bincount(key, minlength=grid.ncells)
+    rows = counts.reshape(-1, grid.shape[0])
+    seg = rows[:, :-2] + rows[:, 1:-1] + rows[:, 2:] if grid.shape[0] >= 3 else rows
+    return int(counts.max()), int(seg.max())
+
+
+def max_row_segment(cell_start, grid: Grid):
+    """On-device: max 3-cell x-window sum over all rows (overflow telemetry
+    for the Pallas candidate windows)."""
+    counts = cell_start[1 : grid.ncells + 1] - cell_start[: grid.ncells]
+    rows = counts.reshape(-1, grid.shape[0])
+    if grid.shape[0] < 3:
+        return jnp.max(jnp.sum(rows, axis=1)).astype(jnp.int32)
+    seg = rows[:, :-2] + rows[:, 1:-1] + rows[:, 2:]
+    return jnp.max(seg).astype(jnp.int32)
+
+
 def estimate_max_per_cell(positions: np.ndarray, inv_cutoff: float) -> int:
     """Host-side occupancy estimate for sizing the candidate windows."""
     c = (np.sign(positions) * np.trunc(np.abs(positions) * inv_cutoff + 0.5)).astype(np.int64)

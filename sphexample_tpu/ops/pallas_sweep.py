@@ -302,6 +302,40 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n):
                 packed_hbm.at[:, pl.ds(s0_al, SELF_WIN)], self_buf, sem.at[0]
             )
             cp_self.start()
+
+            # precompute all segment bounds (scalar work) so candidate DMAs
+            # can be double-buffered: prefetch s+1 while computing s.
+            seg_rs, seg_re, seg_rs_al = [], [], []
+            for s in range(S):
+                deltas = rows_np[s]
+                row_ok = True
+                row_base = jnp.zeros_like(keyc)
+                for d_i in range(1, dims):
+                    rc = rel[d_i] + int(deltas[d_i - 1])
+                    row_ok = row_ok & (rc >= 0) & (rc < gshape[d_i])
+                    row_base = row_base + rc * gstrides[d_i]
+                key_lo = jnp.where(row_ok, row_base + x_lo, 0)
+                key_hi = jnp.where(row_ok, row_base + x_hi, -1)
+                rs = jnp.where(row_ok, cell_start_ref[key_lo], 0)
+                re = jnp.where(row_ok, cell_start_ref[key_hi + 1], 0)
+                seg_rs.append(rs)
+                seg_re.append(re)
+                seg_rs_al.append(
+                    pl.multiple_of(
+                        jnp.maximum(jnp.minimum((rs // 128) * 128, n - cwin), 0), 128
+                    )
+                )
+
+            def seg_dma(s, slot):
+                return pltpu.make_async_copy(
+                    packed_hbm.at[:, pl.ds(seg_rs_al[s], cwin)],
+                    cand_buf.at[slot], sem.at[1 + slot],
+                )
+
+            @pl.when(seg_re[0] > seg_rs[0])
+            def _():
+                seg_dma(0, 0).start()
+
             cp_self.wait()
 
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (mpc, cwin), 0)
@@ -318,35 +352,24 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n):
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
             for s in range(S):
-                # stencil-row segment [rs, re): 3 x-adjacent cells of row s
-                deltas = rows_np[s]
-                row_ok = True
-                row_base = jnp.zeros_like(keyc)
-                for d_i in range(1, dims):
-                    rc = rel[d_i] + int(deltas[d_i - 1])
-                    row_ok = row_ok & (rc >= 0) & (rc < gshape[d_i])
-                    row_base = row_base + rc * gstrides[d_i]
-                key_lo = jnp.where(row_ok, row_base + x_lo, 0)
-                key_hi = jnp.where(row_ok, row_base + x_hi, -1)
-                rs = jnp.where(row_ok, cell_start_ref[key_lo], 0)
-                re = jnp.where(row_ok, cell_start_ref[key_hi + 1], 0)
+                slot = s % 2
+                if s + 1 < S:
+                    @pl.when(seg_re[s + 1] > seg_rs[s + 1])
+                    def _():
+                        seg_dma(s + 1, (s + 1) % 2).start()
 
-                @pl.when(re > rs)  # skip DMA + math for empty segments
+                @pl.when(seg_re[s] > seg_rs[s])  # skip empty segments
                 def _segment():
-                    rs_al = pl.multiple_of(
-                        jnp.maximum(jnp.minimum((rs // 128) * 128, n - cwin), 0), 128
-                    )
-                    cp = pltpu.make_async_copy(
-                        packed_hbm.at[:, pl.ds(rs_al, cwin)], cand_buf, sem.at[1]
-                    )
-                    cp.start()
-                    cp.wait()
+                    seg_dma(s, slot).wait()
 
-                    idx_j = rs_al + lane_ids
+                    idx_j = seg_rs_al[s] + lane_ids
                     within = (
-                        self_valid & (idx_j >= rs) & (idx_j < re) & (idx_j != idx_i)
+                        self_valid
+                        & (idx_j >= seg_rs[s])
+                        & (idx_j < seg_re[s])
+                        & (idx_j != idx_i)
                     )
-                    cand_f = [cand_buf[f, :][None, :] for f in range(nfields)]
+                    cand_f = [cand_buf[slot, f, :][None, :] for f in range(nfields)]
                     terms = _pair_math(
                         spec, dims, self_f, cand_f, idx_i, idx_j, within
                     )
@@ -453,9 +476,9 @@ def pallas_pair_sweep(
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((nfields_pad, SELF_WIN), jnp.float32),
-            pltpu.VMEM((nfields_pad, cseg + 128), jnp.float32),
+            pltpu.VMEM((2, nfields_pad, cseg + 128), jnp.float32),
             pltpu.VMEM((n_keys, mpc, cseg + 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 

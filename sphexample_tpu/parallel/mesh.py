@@ -50,6 +50,7 @@ def state_specs(axis: str = AXIS) -> SimulationState:
         current_dt=P(),
         iteration=P(),
         max_occupancy=P(),
+        max_segment=P(),
         position_half=P(axis),
     )
 

@@ -138,6 +138,7 @@ class SimulationState:
     current_dt: jax.Array        # scalar
     iteration: jax.Array         # scalar int32
     max_occupancy: jax.Array     # scalar int32 - overflow telemetry for the host
+    max_segment: jax.Array       # scalar int32 - max 3-cell row segment length
     # Scratch half-step position kept across steps ONLY for the lazy-rebuild
     # displacement rule (update_delta_x!, reference SPHCellList.jl:706-724).
     # Like the reference, it is NOT permuted on resort (scratch arrays are not

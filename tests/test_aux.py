@@ -1,0 +1,129 @@
+"""Aux subsystem tests: checkpoint/resume, determinism, VTKHDF round trip,
+ParaView state file, output-time scheduling."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphexample_tpu import (
+    DensityDiffusionModel,
+    KernelFamily,
+    SimulationConstants,
+    SimulationMetaData,
+    ViscosityModel,
+    assemble_simulation,
+    make_kernel,
+    run_simulation,
+)
+from sphexample_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from sphexample_tpu.io.output import OutputManager
+from sphexample_tpu.io.paraview import write_paraview_state
+from sphexample_tpu.utils.validation import check_determinism, compare_states
+
+
+def _small_sim(tmp_path, dtype="float64", t_end=0.05):
+    rng = np.random.default_rng(5)
+    const = SimulationConstants(dx=0.02, c0=40.0, cfl=0.3)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+    n = 120
+    pos = np.stack(
+        [rng.permutation(n) * const.dx * 0.5, rng.uniform(0, 0.3, n)], axis=-1
+    )
+    meta = SimulationMetaData(
+        simulation_name="aux",
+        save_location=str(tmp_path),
+        dims=2,
+        dtype=dtype,
+        simulation_time=t_end,
+        output_times=0.01,
+        block_size=32,
+        grid_margin_cells=4,
+        export_grid_cells=True,
+    )
+    return assemble_simulation(
+        pos, np.full(n, const.rho0), np.full(n, 1, np.int32),
+        np.ones(n, np.int32), np.arange(1, n + 1),
+        meta, const, kern, ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+    ), meta, kern
+
+
+def test_checkpoint_roundtrip_bitexact(tmp_path):
+    sim, meta, kern = _small_sim(tmp_path)
+    t_out = jnp.asarray(0.01, dtype=jnp.float64)
+    mid = sim.interval_fn(sim.state, t_out)
+
+    path = os.path.join(str(tmp_path), "ck.npz")
+    save_checkpoint(path, mid, counter=2)
+    restored, counter = load_checkpoint(path, sim.state)
+    assert counter == 2
+
+    # continuing from the restored state is bit-identical
+    a = sim.interval_fn(mid, jnp.asarray(0.02, dtype=jnp.float64))
+    b = sim.interval_fn(restored, jnp.asarray(0.02, dtype=jnp.float64))
+    np.testing.assert_array_equal(
+        np.asarray(a.particles.position), np.asarray(b.particles.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.particles.density), np.asarray(b.particles.density)
+    )
+
+
+def test_determinism(tmp_path):
+    sim, _, _ = _small_sim(tmp_path)
+    assert check_determinism(sim, n_steps=3)
+
+
+def test_fp32_vs_fp64_drift(tmp_path):
+    sim64, _, _ = _small_sim(tmp_path / "a", dtype="float64")
+    sim32, _, _ = _small_sim(tmp_path / "b", dtype="float32")
+    t64 = jnp.asarray(0.01, dtype=jnp.float64)
+    t32 = jnp.asarray(0.01, dtype=jnp.float32)
+    f64 = sim64.interval_fn(sim64.state, t64)
+    f32 = sim32.interval_fn(sim32.state, t32)
+    drift = compare_states(f32, f64, sim64.n_live)
+    # short-horizon fp32 drift stays at single-precision level
+    assert drift["position"] < 1e-4, drift
+    assert drift["density"] < 1e-4, drift
+
+
+def test_output_manager_and_paraview(tmp_path):
+    sim, meta, kern = _small_sim(tmp_path, t_end=0.02)
+    out = OutputManager(meta, kern, sim.cfg.grid, sim.n_live)
+    run_simulation(sim, save_callback=out.save, max_intervals=2)
+    out.close()
+
+    import h5py
+
+    with h5py.File(os.path.join(str(tmp_path), "aux.vtkhdf")) as f:
+        r = f["VTKHDF"]
+        assert r.attrs["Type"] == b"PolyData"
+        assert r["Steps"].attrs["NSteps"] == 3
+        assert r["NumberOfPoints"][0] == sim.n_live
+        assert set(meta.output_variables) == set(r["PointData"])
+    with h5py.File(os.path.join(str(tmp_path), "aux_GridCells.vtkhdf")) as f:
+        assert f["VTKHDF"].attrs["Type"] == b"UnstructuredGrid"
+        assert f["VTKHDF"]["NumberOfCells"][0] > 0
+
+    path = write_paraview_state(meta)
+    content = open(path).read()
+    assert "VTKHDFReader" in content and "aux.vtkhdf" in content
+    assert "Point Gaussian" in content
+
+
+def test_output_time_scheduling():
+    # scalar interval: counter * interval (reference SPHCellList.jl:689)
+    meta = SimulationMetaData(
+        simulation_name="s", save_location=".", simulation_time=1.0, output_times=0.25
+    )
+    assert meta.output_time_for(1) == 0.25
+    assert meta.output_time_for(3) == 0.75
+    # vector times with the reference's last-entry quirk (:691-698)
+    meta = SimulationMetaData(
+        simulation_name="s", save_location=".", simulation_time=9.0,
+        output_times=(0.1, 0.5, 2.0),
+    )
+    assert meta.output_time_for(1) == 0.1
+    assert meta.output_time_for(2) == 0.5
+    assert meta.output_time_for(3) == 9.0  # falls through to SimulationTime
