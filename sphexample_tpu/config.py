@@ -285,6 +285,7 @@ class SimulationMetaData:
     dtype: str = "float32"  # state dtype; "float64" for x64 parity runs
     grid_margin_cells: int = 6  # static-grid padding around initial extent
     max_per_cell: Optional[int] = None  # candidate-window capacity (auto if None)
+    max_occupied_cells: Optional[int] = None  # Pallas occupied-cell cap (auto)
     block_size: int = 1024  # particle chunking for the pair sweep
     use_pallas: bool = False  # fused Pallas pair kernel (TPU only)
 

@@ -84,8 +84,9 @@ def assemble_simulation(
         # self window multiple of 8 (sublane), candidate segment multiple of
         # 128 (lane); DMA windows must fit the capacity.
         occ0, seg0 = cl.measure_occupancy(position, kernel.H_inv, grid)
+        ncc0 = cl.count_occupied(position, kernel.H_inv, grid)
         mpc_exact = meta.max_per_cell or int(occ0 * 1.25) + 2
-        mpc_pad = min(128, -(-mpc_exact // 8) * 8)
+        mpc_pad = -(-mpc_exact // 8) * 8
         cseg = -(-(int(seg0 * 1.25) + 2) // 128) * 128
         mpc = mpc_pad
         # tail padding keeps the kernel's aligned self-window clamp from
@@ -137,7 +138,12 @@ def assemble_simulation(
         boundary_capacity=max(1, n_ghost),
         use_pallas=meta.use_pallas,
         mpc=mpc_pad,
-        maxc=min(grid.ncells, int(particles.capacity)),
+        maxc=(
+            min(grid.ncells, int(particles.capacity), meta.max_occupied_cells)
+            if meta.max_occupied_cells
+            else min(grid.ncells, int(particles.capacity),
+                     (ncc0 * 6 + 256) if meta.use_pallas else 10**9)
+        ),
     )
 
     zero = jnp.zeros((), dtype=dtype)
@@ -149,6 +155,7 @@ def assemble_simulation(
         iteration=jnp.zeros((), dtype=jnp.int32),
         max_occupancy=jnp.zeros((), dtype=jnp.int32),
         max_segment=jnp.zeros((), dtype=jnp.int32),
+        occupied_cells=jnp.zeros((), dtype=jnp.int32),
         position_half=jnp.zeros_like(particles.position),
     )
     return Simulation(cfg=cfg, state=state, meta=meta, n_live=n)
@@ -219,6 +226,12 @@ def run_simulation(
             raise RuntimeError(
                 f"stencil-row segment {int(state.max_segment)} exceeded the "
                 f"candidate window {sim.cfg.cseg}; raise max_per_cell"
+            )
+        if sim.cfg.use_pallas and int(state.occupied_cells) > sim.cfg.maxc:
+            raise RuntimeError(
+                f"occupied cells {int(state.occupied_cells)} exceeded the "
+                f"program-grid capacity {sim.cfg.maxc}; raise "
+                f"SimulationMetaData.max_occupied_cells"
             )
 
         if save_callback is not None:

@@ -119,16 +119,20 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
         nblk = (base + jnp.arange(sorted_p.capacity, dtype=jnp.int32)) // cfg.block_size
         sorted_p = sorted_p.replace(chunk_id=nblk)
         seg = cl.max_row_segment(cell_start, cfg.grid)
-        return sorted_p, cell_start, occ, seg, jnp.zeros_like(dx_acc)
+        counts = cell_start[1 : cfg.grid.ncells + 1] - cell_start[: cfg.grid.ncells]
+        ncc = jnp.sum(counts > 0).astype(jnp.int32)
+        return sorted_p, cell_start, occ, seg, ncc, jnp.zeros_like(dx_acc)
 
     def no_rebuild(p_in):
-        return p_in, state.cell_start, state.max_occupancy, state.max_segment, dx_acc
+        return (p_in, state.cell_start, state.max_occupancy, state.max_segment,
+                state.occupied_cells, dx_acc)
 
-    p, cell_start, occ, seg, dx_acc = jax.lax.cond(
+    p, cell_start, occ, seg, ncc, dx_acc = jax.lax.cond(
         dx_acc >= kern.h, do_rebuild, no_rebuild, p
     )
     occ = jnp.maximum(occ, state.max_occupancy)
     seg = jnp.maximum(seg, state.max_segment)
+    ncc = jnp.maximum(ncc, state.occupied_cells)
 
     # -- motion (first half, reference :765)
     pos, vel = progress_motion(cfg.motion, p, state.total_time, dt2)
@@ -223,6 +227,7 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
         iteration=state.iteration + 1,
         max_occupancy=occ,
         max_segment=seg,
+        occupied_cells=ncc,
         position_half=pos_half,
     )
     return new_state, dx_acc

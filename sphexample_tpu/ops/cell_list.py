@@ -110,6 +110,15 @@ def measure_occupancy(positions: np.ndarray, inv_cutoff: float, grid: Grid):
     return int(counts.max()), int(seg.max())
 
 
+def count_occupied(positions, inv_cutoff: float, grid: Grid) -> int:
+    """Host-side: number of occupied cells in the initial configuration."""
+    c = (np.sign(positions) * np.trunc(np.abs(positions) * inv_cutoff + 0.5)).astype(np.int64)
+    c = np.clip(c, np.asarray(grid.cmin), np.asarray(grid.cmin) + np.asarray(grid.shape) - 1)
+    rel = c - np.asarray(grid.cmin)
+    key = (rel * np.asarray(grid.strides)).sum(axis=1)
+    return int(len(np.unique(key)))
+
+
 def max_row_segment(cell_start, grid: Grid):
     """On-device: max 3-cell x-window sum over all rows (overflow telemetry
     for the Pallas candidate windows)."""

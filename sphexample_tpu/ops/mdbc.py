@@ -18,6 +18,7 @@ scratch, we
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import ParticleType
@@ -114,43 +115,49 @@ def mdbc_density_correction(
     gpoint = ghost[bidx]                                   # [B, D]
     gcoords = clamp_coords(cell_coords(gpoint, kern.H_inv), grid)
 
-    start, end = row_segments(gcoords, grid, cell_start)   # [B, S]
-    offs = jnp.arange(cseg, dtype=jnp.int32)
-    j = start[..., None] + offs
-    valid = j < end[..., None]
-    B = bidx.shape[0]
-    j = jnp.clip(j, 0, n - 1).reshape(B, -1)
-    valid = valid.reshape(B, -1)
+    def ghost_fn(xs):
+        # per-ghost moment accumulation; lax.map batches this, bounding the
+        # transient gather footprint (a 20k-ghost 3D case would otherwise
+        # materialize GB-scale [B, S*CSEG, (D+1)^2] intermediates).
+        gp_i, coords_i, valid_i = xs
+        start, end = row_segments(coords_i, grid, cell_start)      # [S]
+        offs = jnp.arange(cseg, dtype=jnp.int32)
+        j = start[:, None] + offs
+        valid = j < end[:, None]
+        j = jnp.clip(j, 0, n - 1).reshape(-1)
+        valid = valid.reshape(-1)
 
-    pos_j = g_pos[j]
-    rho_j = g_rho[j]
-    is_fluid = g_typ[j] == int(ParticleType.FLUID)
+        pos_j = g_pos[j]
+        rho_j = g_rho[j]
+        is_fluid = g_typ[j] == int(ParticleType.FLUID)
 
-    xij = gpoint[:, None, :] - pos_j                       # ghost -> fluid
-    d2 = jnp.sum(xij * xij, axis=-1)
-    within = valid & is_fluid & (d2 <= kern.H2) & bvalid[:, None]
+        xij = gp_i[None, :] - pos_j                        # ghost -> fluid
+        d2 = jnp.sum(xij * xij, axis=-1)
+        within = valid & is_fluid & (d2 <= kern.H2) & valid_i
 
-    d = jnp.sqrt(d2)
-    q = jnp.clip(d * kern.h_inv, 0.0, 2.0)
-    w = K.W(kern, q)
-    grad_w = K.grad_W(kern, q, xij)
+        d = jnp.sqrt(d2)
+        q = jnp.clip(d * kern.h_inv, 0.0, 2.0)
+        w = K.W(kern, q)
+        grad_w = K.grad_W(kern, q, xij)
 
-    # guard masked lanes against inactive-padding densities (see interactions)
-    rho_j = jnp.where(within, rho_j, jnp.ones_like(rho_j))
-    mf = within.astype(w.dtype)
-    # b = sum m0 [W, gradW]  (reference SPHCellList.jl:351)
-    bvec = jnp.concatenate(
-        [(c.m0 * w)[..., None], c.m0 * grad_w], axis=-1
-    ) * mf[..., None]                                      # [B, K, D+1]
-    bvec = jnp.sum(bvec, axis=1)
+        # guard masked lanes against inactive-padding densities
+        rho_j = jnp.where(within, rho_j, jnp.ones_like(rho_j))
+        mf = within.astype(w.dtype)
+        # b = sum m0 [W, gradW]  (reference SPHCellList.jl:351)
+        bv = jnp.sum(
+            jnp.concatenate([(c.m0 * w)[:, None], c.m0 * grad_w], axis=-1)
+            * mf[:, None],
+            axis=0,
+        )                                                  # [D+1]
+        # A = sum outer([Vj W, Vj gradW], [1, x_ji])  (reference :353-359)
+        vj = c.m0 / rho_j
+        fc = jnp.concatenate([(vj * w)[:, None], vj[:, None] * grad_w], axis=-1)
+        e = jnp.concatenate([jnp.ones_like(w)[:, None], -xij], axis=-1)
+        Am = jnp.sum((fc[:, :, None] * e[:, None, :]) * mf[:, None, None], axis=0)
+        return bv, Am
 
-    # A = sum outer([Vj W, Vj gradW], [1, x_ji])  (reference :353-359)
-    vj = c.m0 / rho_j
-    fc = jnp.concatenate([(vj * w)[..., None], vj[..., None] * grad_w], axis=-1)
-    e = jnp.concatenate([jnp.ones_like(w)[..., None], -xij], axis=-1)  # [1, x_ji]
-    Amat = jnp.sum(
-        (fc[..., :, None] * e[..., None, :]) * mf[..., None, None], axis=1
-    )                                                      # [B, D+1, D+1]
+    bs = min(1024, bidx.shape[0])
+    bvec, Amat = jax.lax.map(ghost_fn, (gpoint, gcoords, bvalid), batch_size=bs)
 
     det, sol = _det_solve(Amat, bvec)
     diff = particles.position[bidx] - gpoint

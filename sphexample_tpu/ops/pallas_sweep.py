@@ -243,7 +243,7 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, idx_i, idx_j, within):
     return out
 
 
-def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n):
+def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, R):
     want_kernel = spec.kernel_output is KernelOutputMode.STORE
     want_shift = spec.shifting is ShiftingMode.PLANAR
     ncells = grid.ncells
@@ -263,11 +263,17 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n):
         self_buf, cand_buf, acc_ref, sem = opt_outs[n_opt : n_opt + 4]
 
         b = pl.program_id(0)
+        chunk = pl.program_id(1)
+        base_row = chunk * R
         key = occ_keys_ref[b]
         is_live = key < ncells
         keyc = jnp.minimum(key, ncells - 1)
-        s0 = cell_start_ref[keyc]
-        cnt = jnp.where(is_live, cell_start_ref[keyc + 1] - s0, 0)
+        s0_cell = cell_start_ref[keyc]
+        cnt_cell = jnp.where(is_live, cell_start_ref[keyc + 1] - s0_cell, 0)
+        # this program handles rows [base_row, base_row + R) of the cell
+        s0 = s0_cell + base_row
+        cnt = jnp.clip(cnt_cell - base_row, 0, R)
+        is_live = is_live & (cnt > 0)
 
         # decompose the linear key into grid coordinates (x fastest)
         rel = []
@@ -338,14 +344,14 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n):
 
             cp_self.wait()
 
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (mpc, cwin), 0)
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (mpc, cwin), 1)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, cwin), 0)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, cwin), 1)
             idx_i = s0 + row_ids             # global sorted self index
             self_valid = row_ids < cnt
 
             def self_field(f):
                 col = jnp.transpose(self_buf[f : f + 1, :])    # [SELF_WIN, 1]
-                return pltpu.roll(col, shift=-rem, axis=0)[0:mpc, :]
+                return pltpu.roll(col, shift=-rem, axis=0)[0:R, :]
 
             self_f = [self_field(f) for f in range(nfields)]
 
@@ -376,25 +382,25 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n):
                     for k in keys:
                         acc_ref[ki[k]] += terms[k]
 
-            # lane-reduce and store per-cell blocks
+            # lane-reduce and store per-(cell, chunk) blocks
             def rsum(k):
-                return jnp.sum(acc_ref[ki[k]], axis=1, keepdims=True).T  # [1, mpc]
+                return jnp.sum(acc_ref[ki[k]], axis=1, keepdims=True).T  # [1, R]
 
             def store_vec(ref, base):
                 ref[...] = jnp.concatenate(
                     [rsum(f"{base}{r}") for r in range(dims)], axis=0
-                )[None, :, :]
+                )[None, None, :, :]
 
-            outs[0][...] = rsum("drho")[None, :, :]
+            outs[0][...] = rsum("drho")[None, None, :, :]
             store_vec(outs[1], "dvdt")
             io = 2
             if want_kernel:
-                outs[io][...] = rsum("w")[None, :, :]
+                outs[io][...] = rsum("w")[None, None, :, :]
                 store_vec(outs[io + 1], "gw")
                 io += 2
             if want_shift:
                 store_vec(outs[io], "gc")
-                outs[io + 1][...] = rsum("dr")[None, :, :]
+                outs[io + 1][...] = rsum("dr")[None, None, :, :]
 
     return kernel
 
@@ -430,8 +436,8 @@ def pallas_pair_sweep(
             f"particle capacity {n} must be a multiple of 128 and >= the DMA "
             f"windows (cseg+128={cseg + 128}, self={SELF_WIN}); pad the capacity"
         )
-    if mpc > 128:
-        raise ValueError(f"mpc={mpc} exceeds the 128-row self-window budget")
+    if mpc % 8 != 0:
+        raise ValueError(f"mpc={mpc} must be a multiple of 8")
     S = 3 ** (dims - 1)
     nfields = 2 * dims + 3
     nfields_pad = _round_up(nfields, 8)
@@ -453,10 +459,15 @@ def pallas_pair_sweep(
     want_shift = spec.shifting is ShiftingMode.PLANAR
     n_keys = (1 + dims) * (1 + int(want_kernel) + int(want_shift))
 
-    scalar_shape = jax.ShapeDtypeStruct((maxc, 1, mpc), jnp.float32)
-    vector_shape = jax.ShapeDtypeStruct((maxc, dims, mpc), jnp.float32)
-    scalar_spec = pl.BlockSpec((1, 1, mpc), lambda b, *_: (b, 0, 0))
-    vector_spec = pl.BlockSpec((1, dims, mpc), lambda b, *_: (b, 0, 0))
+    # row-chunked grid: tile rows R << mpc so sparse cells don't pay for the
+    # densest cell's row budget; extra chunks only run where occupancy needs
+    R = min(mpc, 32)
+    CH = -(-mpc // R)
+
+    scalar_shape = jax.ShapeDtypeStruct((maxc, CH, 1, R), jnp.float32)
+    vector_shape = jax.ShapeDtypeStruct((maxc, CH, dims, R), jnp.float32)
+    scalar_spec = pl.BlockSpec((1, 1, 1, R), lambda b, c, *_: (b, c, 0, 0))
+    vector_spec = pl.BlockSpec((1, 1, dims, R), lambda b, c, *_: (b, c, 0, 0))
     out_shapes = [scalar_shape, vector_shape]
     out_specs = [scalar_spec, vector_spec]
     if want_kernel:
@@ -471,18 +482,18 @@ def pallas_pair_sweep(
     # derived with scalar arithmetic inside the kernel.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(maxc,),
+        grid=(maxc, CH),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((nfields_pad, SELF_WIN), jnp.float32),
             pltpu.VMEM((2, nfields_pad, cseg + 128), jnp.float32),
-            pltpu.VMEM((n_keys, mpc, cseg + 128), jnp.float32),
+            pltpu.VMEM((n_keys, R, cseg + 128), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 
-    kernel = _make_kernel(spec, grid, dims, nfields, mpc, cseg, S, n)
+    kernel = _make_kernel(spec, grid, dims, nfields, mpc, cseg, S, n, R)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -507,11 +518,14 @@ def pallas_pair_sweep(
 
     dtype = position.dtype
 
+    chunk_idx = rank // R
+    row_idx = rank % R
+
     def take(block, vec=False):
         if vec:
-            g = block[slot, :, rank]                          # [N, D]
+            g = block[slot, chunk_idx, :, row_idx]            # [N, D]
             return jnp.where(live[:, None], g, 0).astype(dtype)
-        g = block[slot, 0, rank]
+        g = block[slot, chunk_idx, 0, row_idx]
         return jnp.where(live, g, 0).astype(dtype)
 
     i = 0

@@ -51,6 +51,7 @@ def state_specs(axis: str = AXIS) -> SimulationState:
         iteration=P(),
         max_occupancy=P(),
         max_segment=P(),
+        occupied_cells=P(),
         position_half=P(axis),
     )
 

@@ -139,6 +139,7 @@ class SimulationState:
     iteration: jax.Array         # scalar int32
     max_occupancy: jax.Array     # scalar int32 - overflow telemetry for the host
     max_segment: jax.Array       # scalar int32 - max 3-cell row segment length
+    occupied_cells: jax.Array    # scalar int32 - occupied-cell count at rebuild
     # Scratch half-step position kept across steps ONLY for the lazy-rebuild
     # displacement rule (update_delta_x!, reference SPHCellList.jl:706-724).
     # Like the reference, it is NOT permuted on resort (scratch arrays are not
