@@ -59,14 +59,20 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
                 os.path.join(meta.save_location, "checkpoint.npz"), state, counter
             )
 
+    timesteps = []
+
+    def log(info):
+        timesteps.append(info["dt"])
+        logger.log_step(info, meta.simulation_time)
+
     run_simulation(
         sim,
         save_callback=save,
-        log_callback=lambda info: logger.log_step(info, meta.simulation_time),
+        log_callback=log,
         max_intervals=args.max_intervals,
     )
     out.close()
-    logger.log_final(sim.state)
+    logger.log_final(sim.state, timesteps)
     write_paraview_state(meta)
     logger.close()
     return sim

@@ -188,17 +188,76 @@ def build_simulation(
     )
 
 
+def _overflow_reason(cfg: StepConfig, state) -> Optional[str]:
+    """Non-None when the interval ran with overflowed neighbor windows."""
+    mpc_budget = cfg.mpc if cfg.use_pallas else cfg.cseg // 3
+    occ = int(state.max_occupancy)
+    if occ > mpc_budget:
+        return (
+            f"cell occupancy {occ} exceeded the static budget {mpc_budget}; "
+            f"set SimulationMetaData.max_per_cell >= {occ}"
+        )
+    if cfg.use_pallas and int(state.max_segment) > cfg.cseg:
+        return (
+            f"stencil-row segment {int(state.max_segment)} exceeded the "
+            f"candidate window {cfg.cseg}; raise max_per_cell"
+        )
+    if cfg.use_pallas and int(state.occupied_cells) > cfg.maxc:
+        return (
+            f"occupied cells {int(state.occupied_cells)} exceeded the "
+            f"program-grid capacity {cfg.maxc}; raise max_occupied_cells"
+        )
+    return None
+
+
+def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, object]":
+    """Grow the static neighbor windows to fit the observed telemetry of the
+    failed interval, re-jit, and return (sim, pre-interval state) for replay."""
+    import dataclasses as _dc
+
+    from ..parallel.mesh import pad_capacity
+
+    occ = int(failed_state.max_occupancy)
+    seg = int(failed_state.max_segment)
+    ncc = int(failed_state.occupied_cells)
+    cfg = sim.cfg
+
+    if cfg.use_pallas:
+        mpc = -(-(int(occ * 1.25) + 2) // 8) * 8
+        cseg = -(-(int(max(seg, 3 * occ) * 1.25) + 2) // 128) * 128
+        maxc = min(cfg.grid.ncells, ncc * 2 + 256)
+        new_cap = max(prev_state.particles.capacity, cseg + 128, sim.n_live + 256)
+        new_cap = -(-new_cap // 128) * 128
+        prev_state = pad_capacity(prev_state, new_cap)
+        new_cfg = _dc.replace(cfg, mpc=mpc, cseg=cseg, maxc=max(maxc, cfg.maxc))
+    else:
+        mpc = int(occ * 1.25) + 2
+        new_cfg = _dc.replace(cfg, cseg=3 * mpc)
+
+    if (new_cfg.mpc, new_cfg.cseg, new_cfg.maxc) == (cfg.mpc, cfg.cseg, cfg.maxc):
+        raise RuntimeError(
+            "neighbor-window retune made no progress; raise max_per_cell manually"
+        )
+    new_sim = Simulation(
+        cfg=new_cfg, state=prev_state, meta=sim.meta, n_live=sim.n_live
+    )
+    return new_sim, prev_state
+
+
 def run_simulation(
     sim: Simulation,
     save_callback: Optional[Callable[[int, SimulationState], None]] = None,
     log_callback: Optional[Callable[[dict], None]] = None,
     max_intervals: Optional[int] = None,
+    auto_retune: bool = True,
 ) -> Simulation:
     """Outer host loop over output intervals (reference SPHCellList.jl:881-929).
 
     ``save_callback(counter, state)`` fires once for the initial state and once
-    per output time.  Raises if the candidate windows overflowed (cell
-    occupancy exceeded the static budget) - results would be invalid.
+    per output time.  If the static neighbor windows overflow (cell occupancy
+    outgrew the budget) the interval's results are invalid; with
+    ``auto_retune`` the driver enlarges the windows, re-jits, and **replays
+    the interval from the pre-interval state** - otherwise it raises.
     """
     meta = sim.meta
     state = sim.state
@@ -206,33 +265,23 @@ def run_simulation(
     if save_callback is not None:
         save_callback(counter, state)
 
-    mpc_budget = sim.cfg.mpc if sim.cfg.use_pallas else sim.cfg.cseg // 3
     t_wall0 = time.perf_counter()
     intervals = 0
     while True:
         t_out = meta.output_time_for(counter)
         prev_iter = int(state.iteration)
+        prev_state = state
         state = sim.interval_fn(state, jnp.asarray(t_out, dtype=state.total_time.dtype))
+
+        overflow = _overflow_reason(sim.cfg, state)
+        if overflow:
+            if not auto_retune:
+                raise RuntimeError(overflow)
+            sim, state = _retune(sim, prev_state, state)
+            continue  # replay the same interval with bigger windows
+
         counter += 1
         intervals += 1
-
-        occ = int(state.max_occupancy)
-        if occ > mpc_budget:
-            raise RuntimeError(
-                f"cell occupancy {occ} exceeded the static budget {mpc_budget}; "
-                f"rebuild with SimulationMetaData.max_per_cell >= {occ}"
-            )
-        if sim.cfg.use_pallas and int(state.max_segment) > sim.cfg.cseg:
-            raise RuntimeError(
-                f"stencil-row segment {int(state.max_segment)} exceeded the "
-                f"candidate window {sim.cfg.cseg}; raise max_per_cell"
-            )
-        if sim.cfg.use_pallas and int(state.occupied_cells) > sim.cfg.maxc:
-            raise RuntimeError(
-                f"occupied cells {int(state.occupied_cells)} exceeded the "
-                f"program-grid capacity {sim.cfg.maxc}; raise "
-                f"SimulationMetaData.max_occupied_cells"
-            )
 
         if save_callback is not None:
             save_callback(counter, state)

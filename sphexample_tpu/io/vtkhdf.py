@@ -288,6 +288,26 @@ class TransientGridWriter:
             self.file = None
 
 
+def close_hdf_vtk_manually(directory: str):
+    """Crash-recovery sweep over ``.vtkhdf`` files (reference
+    CloseHDFVTKManually, AuxiliaryFunctions.jl:42-54): open + close each file
+    to flush/validate handles after an aborted run; returns the list of files
+    that failed to open (corrupt/truncated)."""
+    bad = []
+    if not os.path.isdir(directory):
+        return bad
+    for fn in os.listdir(directory):
+        if not fn.endswith(".vtkhdf"):
+            continue
+        p = os.path.join(directory, fn)
+        try:
+            with h5py.File(p, "r"):
+                pass
+        except OSError:
+            bad.append(p)
+    return bad
+
+
 def clean_simulation_folder(path: str):
     """Delete stale .vtkhdf outputs (reference CleanUpSimulationFolder,
     AuxiliaryFunctions.jl:61-71)."""

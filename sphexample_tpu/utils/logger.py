@@ -92,7 +92,29 @@ class SimulationLogger:
             self.logger.info(
                 f"dt stats: min {ts.min():.3e}  mean {ts.mean():.3e}  max {ts.max():.3e}"
             )
+            self.logger.info(self._ascii_plot(ts))
         self.logger.info("=" * 78)
+
+    @staticmethod
+    def _ascii_plot(ts, height: int = 10, width: int = 64) -> str:
+        """dt-vs-output line plot (the reference renders a UnicodePlots graph
+        at exit, SPHCellList.jl:923)."""
+        import numpy as np
+
+        if len(ts) < 2:
+            return ""
+        x = np.linspace(0, len(ts) - 1, min(width, len(ts)))
+        y = np.interp(x, np.arange(len(ts)), ts)
+        lo, hi = float(y.min()), float(y.max())
+        span = (hi - lo) or 1.0
+        rows = np.round((y - lo) / span * (height - 1)).astype(int)
+        canvas = [[" "] * len(y) for _ in range(height)]
+        for col, r in enumerate(rows):
+            canvas[height - 1 - r][col] = "*"
+        lines = [f"dt per output [{lo:.3e} .. {hi:.3e}]"]
+        lines += ["|" + "".join(row) for row in canvas]
+        lines.append("+" + "-" * len(y))
+        return "\n".join(lines)
 
     def close(self):
         for h in list(self.logger.handlers):

@@ -127,3 +127,93 @@ def test_output_time_scheduling():
     assert meta.output_time_for(1) == 0.1
     assert meta.output_time_for(2) == 0.5
     assert meta.output_time_for(3) == 9.0  # falls through to SimulationTime
+
+
+def test_auto_retune_on_overflow(tmp_path):
+    """Undersized neighbor windows are grown transparently and the interval
+    is replayed from the pre-interval state."""
+    import numpy as np
+
+    from sphexample_tpu import run_simulation as run_sim
+
+    rng = np.random.default_rng(0)
+    const = SimulationConstants(dx=0.02, c0=40.0, cfl=0.3)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+    pos = rng.uniform(0, 0.3, size=(300, 2))
+    meta = SimulationMetaData(
+        simulation_name="rt", save_location=str(tmp_path), dims=2,
+        simulation_time=0.02, output_times=0.01, max_per_cell=2,
+        block_size=64, dtype="float64",
+    )
+    sim = assemble_simulation(
+        pos, np.full(300, const.rho0), np.ones(300, np.int32),
+        np.ones(300, np.int32), np.arange(1, 301),
+        meta, const, kern, ViscosityModel.ARTIFICIAL, DensityDiffusionModel.ZERO,
+    )
+    assert sim.cfg.cseg == 6  # deliberately undersized
+    sim = run_sim(sim, max_intervals=2)
+    assert sim.cfg.cseg > 6
+    assert float(sim.state.total_time) > 0.02 - 1e-9
+    assert np.isfinite(np.asarray(sim.state.particles.density)).all()
+
+    # with auto_retune off the same setup raises
+    sim2 = assemble_simulation(
+        pos, np.full(300, const.rho0), np.ones(300, np.int32),
+        np.ones(300, np.int32), np.arange(1, 301),
+        meta, const, kern, ViscosityModel.ARTIFICIAL, DensityDiffusionModel.ZERO,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="occupancy"):
+        run_sim(sim2, max_intervals=2, auto_retune=False)
+
+
+def test_multi_file_output_mode(tmp_path):
+    """ExportSingleVTKHDF=False writes one PolyData file per output."""
+    sim, meta, kern = _small_sim(tmp_path, t_end=0.02)
+    from sphexample_tpu.config import replace as creplace
+
+    meta2 = creplace(meta, export_single_vtkhdf=False, export_grid_cells=False)
+    out = OutputManager(meta2, kern, sim.cfg.grid, sim.n_live)
+    run_simulation(sim, save_callback=out.save, max_intervals=2)
+    out.close()
+
+    import glob
+
+    import h5py
+
+    files = sorted(glob.glob(os.path.join(str(tmp_path), "aux_0*.vtkhdf")))
+    assert len(files) == 3  # initial + 2 outputs
+    with h5py.File(files[0]) as f:
+        r = f["VTKHDF"]
+        assert r.attrs["Type"] == b"PolyData"
+        assert r["Vertices"]["NumberOfCells"][0] == sim.n_live
+
+
+def test_profile_stages_smoke(tmp_path):
+    from sphexample_tpu.utils.timers import HourGlass, profile_stages
+
+    sim, _, _ = _small_sim(tmp_path)
+    times = profile_stages(sim.cfg, sim.state, iters=2)
+    assert "05/08 Neighbor sweep" in times
+    assert all(v >= 0 for v in times.values())
+
+    hg = HourGlass()
+    with hg.section("demo"):
+        pass
+    rep = hg.report()
+    assert "demo" in rep and "wall clock" in rep
+
+
+def test_close_hdf_vtk_manually(tmp_path):
+    from sphexample_tpu.io.vtkhdf import close_hdf_vtk_manually
+
+    good = os.path.join(str(tmp_path), "ok.vtkhdf")
+    import h5py
+
+    with h5py.File(good, "w") as f:
+        f.create_group("VTKHDF")
+    bad = os.path.join(str(tmp_path), "bad.vtkhdf")
+    with open(bad, "wb") as f:
+        f.write(b"not hdf5")
+    assert close_hdf_vtk_manually(str(tmp_path)) == [bad]
