@@ -288,6 +288,9 @@ class SimulationMetaData:
     max_occupied_cells: Optional[int] = None  # Pallas occupied-cell cap (auto)
     block_size: int = 1024  # particle chunking for the pair sweep
     use_pallas: bool = False  # fused Pallas pair kernel (TPU only)
+    # Cap on steps per device program; the host loops chunks per interval.
+    # Long single executions can trip remote-worker watchdogs.
+    max_steps_per_call: Optional[int] = 8
 
     def output_time_for(self, counter: int) -> float:
         """next_output_time (reference src/SPHCellList.jl:687-698)."""

@@ -234,28 +234,48 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
 
 
 def make_interval_fn(cfg: StepConfig):
-    """Build the jitted per-output-interval function.
+    """Build the per-output-interval function.
 
     Runs steps while ``total_time <= t_out`` (reference SPHCellList.jl:742),
     with the displacement accumulator freshly initialized to 1 + h so the
     first step of every interval rebuilds the cell list (reference :739).
+
+    ``meta.max_steps_per_call`` bounds the steps executed inside a single
+    device program; the host loops chunks until the output time is crossed
+    (the displacement accumulator carries across chunks, so the trajectory is
+    identical to one unbounded while_loop).  Unbounded single executions of
+    many minutes can trip remote-worker watchdogs (observed on the tunneled
+    TPU), and the cap also keeps the host responsive.
     """
+    cap = cfg.meta.max_steps_per_call
 
-    def interval(state: SimulationState, t_out) -> SimulationState:
-        dx0 = jnp.asarray(1.0 + cfg.spec.kernel.h, dtype=state.total_time.dtype)
-
+    @jax.jit
+    def chunk(state: SimulationState, t_out, dx_acc):
         def cond(carry):
-            s, _ = carry
-            return s.total_time <= t_out
+            s, _, k = carry
+            ok = s.total_time <= t_out
+            if cap is not None:
+                ok = ok & (k < cap)
+            return ok
 
         def body(carry):
-            s, dx_acc = carry
-            return sph_step(cfg, s, dx_acc)
+            s, dxa, k = carry
+            s2, dxa2 = sph_step(cfg, s, dxa)
+            return s2, dxa2, k + 1
 
-        final, _ = jax.lax.while_loop(cond, body, (state, dx0))
-        return final
+        final, dx_out, _ = jax.lax.while_loop(
+            cond, body, (state, dx_acc, jnp.zeros((), jnp.int32))
+        )
+        return final, dx_out
 
-    return jax.jit(interval)
+    def interval(state: SimulationState, t_out) -> SimulationState:
+        dx = jnp.asarray(1.0 + cfg.spec.kernel.h, dtype=state.total_time.dtype)
+        while True:
+            state, dx = chunk(state, t_out, dx)
+            if cap is None or float(state.total_time) > float(t_out):
+                return state
+
+    return interval
 
 
 def make_fixed_steps_fn(cfg: StepConfig, n_steps: int):

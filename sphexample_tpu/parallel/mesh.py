@@ -85,28 +85,42 @@ def make_sharded_interval_fn(cfg: StepConfig, mesh: Mesh, axis: str = AXIS):
     cfg = dataclasses.replace(cfg, ctx=ctx)
     specs = state_specs(axis)
 
-    def interval(state: SimulationState, t_out) -> SimulationState:
-        dx0 = jnp.asarray(1.0 + cfg.spec.kernel.h, dtype=state.total_time.dtype)
+    cap = cfg.meta.max_steps_per_call
 
+    def chunk_body(state: SimulationState, t_out, dx_acc):
         def cond(carry):
-            s, _ = carry
-            return s.total_time <= t_out
+            s, _, k = carry
+            ok = s.total_time <= t_out
+            if cap is not None:
+                ok = ok & (k < cap)
+            return ok
 
         def body(carry):
-            s, dx_acc = carry
-            return sph_step(cfg, s, dx_acc)
+            s, dxa, k = carry
+            s2, dxa2 = sph_step(cfg, s, dxa)
+            return s2, dxa2, k + 1
 
-        final, _ = jax.lax.while_loop(cond, body, (state, dx0))
-        return final
+        final, dx_out, _ = jax.lax.while_loop(
+            cond, body, (state, dx_acc, jnp.zeros((), jnp.int32))
+        )
+        return final, dx_out
 
-    sharded = shard_map(
-        interval,
+    sharded_chunk = jax.jit(shard_map(
+        chunk_body,
         mesh=mesh,
-        in_specs=(specs, P()),
-        out_specs=specs,
+        in_specs=(specs, P(), P()),
+        out_specs=(specs, P()),
         check_vma=False,
-    )
-    return jax.jit(sharded), cfg
+    ))
+
+    def interval(state: SimulationState, t_out) -> SimulationState:
+        dx = jnp.asarray(1.0 + cfg.spec.kernel.h, dtype=state.total_time.dtype)
+        while True:
+            state, dx = sharded_chunk(state, t_out, dx)
+            if cap is None or float(state.total_time) > float(t_out):
+                return state
+
+    return interval, cfg
 
 
 def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = AXIS) -> Simulation:
