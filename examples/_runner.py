@@ -18,6 +18,8 @@ def standard_argparser(default_save: str) -> argparse.ArgumentParser:
     ap.add_argument("--max-intervals", type=int, default=None)
     ap.add_argument("--checkpoint-every", type=int, default=None,
                     help="write a resume checkpoint every N outputs")
+    ap.add_argument("--kernel-output", action="store_true",
+                    help="store per-particle kernel sums (StoreKernelOutput mode)")
     return ap
 
 

@@ -24,6 +24,7 @@ def main():
         DensityDiffusionModel,
         Geometry,
         KernelFamily,
+        KernelOutputMode,
         ParticleType,
         SimulationConstants,
         SimulationMetaData,
@@ -45,6 +46,8 @@ def main():
         export_grid_cells=True,
         dtype=args.dtype,
         use_pallas=args.pallas,
+        kernel_output=(KernelOutputMode.STORE if args.kernel_output
+                       else KernelOutputMode.NONE),
     )
 
     if args.from_csv:

@@ -64,6 +64,8 @@ def main():
         shifting=ShiftingMode.PLANAR,
         dtype=args.dtype,
         use_pallas=args.pallas,
+        kernel_output=(KernelOutputMode.STORE if args.kernel_output
+                       else KernelOutputMode.NONE),
     )
     kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx, k=math.sqrt(2))
     run_case(args, geoms, meta, const, kern,

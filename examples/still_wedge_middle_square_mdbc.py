@@ -14,6 +14,7 @@ def main():
         DensityDiffusionModel,
         Geometry,
         KernelFamily,
+        KernelOutputMode,
         MDBCMode,
         ParticleType,
         SimulationConstants,
@@ -38,6 +39,8 @@ def main():
         export_grid_cells=True,
         dtype=args.dtype,
         use_pallas=args.pallas,
+        kernel_output=(KernelOutputMode.STORE if args.kernel_output
+                       else KernelOutputMode.NONE),
     )
     kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
     run_case(args, geoms, meta, const, kern,

@@ -142,7 +142,7 @@ def assemble_simulation(
             min(grid.ncells, int(particles.capacity), meta.max_occupied_cells)
             if meta.max_occupied_cells
             else min(grid.ncells, int(particles.capacity),
-                     (ncc0 * 6 + 256) if meta.use_pallas else 10**9)
+                     (int(ncc0 * 1.5) + 64) if meta.use_pallas else 10**9)
         ),
     )
 

@@ -254,6 +254,8 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
     def kernel(
         occ_keys_ref,    # [maxc] SMEM (prefetch): compacted occupied cell keys
         cell_start_ref,  # [ncells+2] SMEM (prefetch)
+        prog_slot_ref,   # [maxp] SMEM (prefetch): program -> occupied slot
+        prog_base_ref,   # [maxc] SMEM (prefetch): slot -> first program id
         packed_hbm,      # [F_pad, N] HBM
         drho_out, acc_out, *opt_outs,
     ):
@@ -262,12 +264,15 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
         outs = (drho_out, acc_out) + opt_outs[:n_opt]
         self_buf, cand_buf, acc_ref, sem = opt_outs[n_opt : n_opt + 4]
 
+        # Compacted (cell, row-chunk) program list: only live chunks get
+        # programs; slots past the live count point at a dead occ slot.
         b = pl.program_id(0)
-        chunk = pl.program_id(1)
-        base_row = chunk * R
-        key = occ_keys_ref[b]
+        slot = prog_slot_ref[b]
+        key = occ_keys_ref[slot]
         is_live = key < ncells
         keyc = jnp.minimum(key, ncells - 1)
+        chunk = b - prog_base_ref[slot]
+        base_row = chunk * R
         s0_cell = cell_start_ref[keyc]
         cnt_cell = jnp.where(is_live, cell_start_ref[keyc + 1] - s0_cell, 0)
         # this program handles rows [base_row, base_row + R) of the cell
@@ -344,8 +349,11 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
 
             cp_self.wait()
 
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, cwin), 0)
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, cwin), 1)
+            # the compute tile is [R, cseg]: the DMA window's extra 128-lane
+            # alignment slack is rolled away before the pair math, so the
+            # VPU never computes on alignment padding.
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, cseg), 0)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, cseg), 1)
             idx_i = s0 + row_ids             # global sorted self index
             self_valid = row_ids < cnt
 
@@ -368,14 +376,15 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                 def _segment():
                     seg_dma(s, slot).wait()
 
-                    idx_j = seg_rs_al[s] + lane_ids
+                    rem_s = seg_rs[s] - seg_rs_al[s]           # in [0, 128)
+                    rolled = pltpu.roll(cand_buf[slot], shift=-rem_s, axis=1)
+                    idx_j = seg_rs[s] + lane_ids
                     within = (
                         self_valid
-                        & (idx_j >= seg_rs[s])
                         & (idx_j < seg_re[s])
                         & (idx_j != idx_i)
                     )
-                    cand_f = [cand_buf[slot, f, :][None, :] for f in range(nfields)]
+                    cand_f = [rolled[f : f + 1, 0:cseg] for f in range(nfields)]
                     terms = _pair_math(
                         spec, dims, self_f, cand_f, idx_i, idx_j, within
                     )
@@ -389,18 +398,18 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
             def store_vec(ref, base):
                 ref[...] = jnp.concatenate(
                     [rsum(f"{base}{r}") for r in range(dims)], axis=0
-                )[None, None, :, :]
+                )[None, :, :]
 
-            outs[0][...] = rsum("drho")[None, None, :, :]
+            outs[0][...] = rsum("drho")[None, :, :]
             store_vec(outs[1], "dvdt")
             io = 2
             if want_kernel:
-                outs[io][...] = rsum("w")[None, None, :, :]
+                outs[io][...] = rsum("w")[None, :, :]
                 store_vec(outs[io + 1], "gw")
                 io += 2
             if want_shift:
                 store_vec(outs[io], "gc")
-                outs[io + 1][...] = rsum("dr")[None, None, :, :]
+                outs[io + 1][...] = rsum("dr")[None, :, :]
 
     return kernel
 
@@ -459,15 +468,25 @@ def pallas_pair_sweep(
     want_shift = spec.shifting is ShiftingMode.PLANAR
     n_keys = (1 + dims) * (1 + int(want_kernel) + int(want_shift))
 
-    # row-chunked grid: tile rows R << mpc so sparse cells don't pay for the
-    # densest cell's row budget; extra chunks only run where occupancy needs
+    # Compacted (cell, row-chunk) program list: each occupied cell gets
+    # ceil(count / R) consecutive programs - no dead chunk programs, and the
+    # grid size is bounded by maxc + capacity/R regardless of occupancy skew.
     R = min(mpc, 32)
-    CH = -(-mpc // R)
+    maxp = maxc + n // R + 1
 
-    scalar_shape = jax.ShapeDtypeStruct((maxc, CH, 1, R), jnp.float32)
-    vector_shape = jax.ShapeDtypeStruct((maxc, CH, dims, R), jnp.float32)
-    scalar_spec = pl.BlockSpec((1, 1, 1, R), lambda b, c, *_: (b, c, 0, 0))
-    vector_spec = pl.BlockSpec((1, 1, dims, R), lambda b, c, *_: (b, c, 0, 0))
+    counts_occ = jnp.where(occ_valid, counts[jnp.minimum(occ_keys, ncells - 1)], 0)
+    nch = -(-counts_occ // R)                                  # live chunks/cell
+    offsets = jnp.cumsum(nch)                                  # [maxc]
+    prog_base = (offsets - nch).astype(jnp.int32)              # slot -> first prog
+    prog_slot = jnp.clip(
+        jnp.searchsorted(offsets, jnp.arange(maxp, dtype=offsets.dtype), side="right"),
+        0, maxc - 1,
+    ).astype(jnp.int32)                                        # prog -> slot
+
+    scalar_shape = jax.ShapeDtypeStruct((maxp, 1, R), jnp.float32)
+    vector_shape = jax.ShapeDtypeStruct((maxp, dims, R), jnp.float32)
+    scalar_spec = pl.BlockSpec((1, 1, R), lambda b, *_: (b, 0, 0))
+    vector_spec = pl.BlockSpec((1, dims, R), lambda b, *_: (b, 0, 0))
     out_shapes = [scalar_shape, vector_shape]
     out_specs = [scalar_spec, vector_spec]
     if want_kernel:
@@ -477,18 +496,18 @@ def pallas_pair_sweep(
         out_shapes += [vector_shape, scalar_shape]
         out_specs += [vector_spec, scalar_spec]
 
-    # Scalar prefetch: only the compacted occupied-key list and cell_start -
-    # both 1-D and small enough for SMEM; all per-cell segment metadata is
-    # derived with scalar arithmetic inside the kernel.
+    # Scalar prefetch: compacted occupied keys, cell_start, and the program
+    # list - all 1-D SMEM; per-cell segment metadata is derived with scalar
+    # arithmetic inside the kernel.
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(maxc, CH),
+        num_scalar_prefetch=4,
+        grid=(maxp,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((nfields_pad, SELF_WIN), jnp.float32),
             pltpu.VMEM((2, nfields_pad, cseg + 128), jnp.float32),
-            pltpu.VMEM((n_keys, R, cseg + 128), jnp.float32),
+            pltpu.VMEM((n_keys, R, cseg), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -502,10 +521,12 @@ def pallas_pair_sweep(
     )(
         occ_keys.astype(jnp.int32),
         cell_start.astype(jnp.int32),
+        prog_slot,
+        prog_base,
         packed,
     )
 
-    # gather per-cell blocks back to particle order
+    # gather per-(cell, chunk) blocks back to particle order
     keys_p = linearize(particles.cell, grid)
     keys_p = jnp.where(particles.active, keys_p, ncells)
     slot_of_cell = jnp.zeros((ncells + 1,), jnp.int32).at[occ_keys].set(
@@ -518,14 +539,14 @@ def pallas_pair_sweep(
 
     dtype = position.dtype
 
-    chunk_idx = rank // R
+    prog_idx = jnp.clip(prog_base[slot] + rank // R, 0, maxp - 1)
     row_idx = rank % R
 
     def take(block, vec=False):
         if vec:
-            g = block[slot, chunk_idx, :, row_idx]            # [N, D]
+            g = block[prog_idx, :, row_idx]                   # [N, D]
             return jnp.where(live[:, None], g, 0).astype(dtype)
-        g = block[slot, chunk_idx, 0, row_idx]
+        g = block[prog_idx, 0, row_idx]
         return jnp.where(live, g, 0).astype(dtype)
 
     i = 0
