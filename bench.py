@@ -20,7 +20,8 @@ REFERENCE_CPU_PSTEPS = 3.1e4  # "1+ day" baseline, see BASELINE.md
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dx", type=float, default=0.0085)
+    ap.add_argument("--case", choices=["dambreak3d", "dambreak2d"], default="dambreak3d")
+    ap.add_argument("--dx", type=float, default=None)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--cpu", action="store_true")
@@ -45,24 +46,35 @@ def main():
         make_kernel,
     )
     from sphexample_tpu.core.step import make_fixed_steps_fn
-    from sphexample_tpu.io.casegen import dam_break_3d
+    from sphexample_tpu.io.casegen import dam_break_2d, dam_break_3d
 
-    # reference example/Dambreak3d.jl constants
-    dx = args.dx
-    const = SimulationConstants(dx=dx, c0=33.14, alpha=0.1, m0=1000 * dx**3, cfl=0.2)
-    kern = make_kernel(KernelFamily.WENDLAND_C2, 3, h=float(np.sqrt(3 * dx**2)))
     use_pallas = args.pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+
+    if args.case == "dambreak3d":
+        # reference example/Dambreak3d.jl constants
+        dx = args.dx or 0.0085
+        dims = 3
+        const = SimulationConstants(dx=dx, c0=33.14, alpha=0.1, m0=1000 * dx**3, cfl=0.2)
+        kern = make_kernel(KernelFamily.WENDLAND_C2, 3, h=float(np.sqrt(3 * dx**2)))
+        pos, dens, ptype, grp, idp = dam_break_3d(dx)
+    else:
+        # reference example/Dambreak2dMDBC.jl constants (no mDBC in the bench)
+        dx = args.dx or 0.01
+        dims = 2
+        const = SimulationConstants(dx=dx, c0=88.14487860902641, cfl=0.5, alpha=0.01)
+        kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=dx)
+        pos, dens, ptype, grp, idp = dam_break_2d(dx)
+
     meta = SimulationMetaData(
-        simulation_name="bench_dambreak3d",
+        simulation_name=f"bench_{args.case}",
         save_location="out/bench",
-        dims=3,
+        dims=dims,
         dtype=args.dtype,
         block_size=args.block_size,
         use_pallas=use_pallas,
     )
-    pos, dens, ptype, grp, idp = dam_break_3d(dx)
     sim = assemble_simulation(
         pos, dens, ptype, grp, idp, meta, const, kern,
         ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
@@ -92,7 +104,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"particle_steps_per_sec_dambreak3d_dp{dx}_n{n}",
+                "metric": f"particle_steps_per_sec_{args.case}_dp{dx}_n{n}",
                 "value": round(psteps, 1),
                 "unit": "particle-steps/s",
                 "vs_baseline": round(psteps / REFERENCE_CPU_PSTEPS, 2),

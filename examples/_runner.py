@@ -74,6 +74,8 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
         max_intervals=args.max_intervals,
     )
     out.close()
+    if sim.hourglass is not None:
+        logger.logger.info(sim.hourglass.report())
     logger.log_final(sim.state, timesteps)
     write_paraview_state(meta)
     logger.close()

@@ -43,6 +43,7 @@ class Simulation:
     meta: SimulationMetaData
     n_live: int
     interval_fn: Callable = None
+    hourglass: object = None  # filled by run_simulation
 
     def __post_init__(self):
         if self.interval_fn is None:
@@ -259,32 +260,45 @@ def run_simulation(
     ``auto_retune`` the driver enlarges the windows, re-jits, and **replays
     the interval from the pre-interval state** - otherwise it raises.
     """
+    from ..utils.timers import HourGlass
+
     meta = sim.meta
     state = sim.state
     counter = 1
     if save_callback is not None:
         save_callback(counter, state)
 
+    # stage-level wall accounting (reference's TimerOutputs taxonomy,
+    # SPHCellList.jl:883-918); retrieve via sim.hourglass.report()
+    hourglass = HourGlass()
+    sim.hourglass = hourglass
     t_wall0 = time.perf_counter()
     intervals = 0
     while True:
         t_out = meta.output_time_for(counter)
         prev_iter = int(state.iteration)
         prev_state = state
-        state = sim.interval_fn(state, jnp.asarray(t_out, dtype=state.total_time.dtype))
+        with hourglass.section("00 SimulationLoop"):
+            state = sim.interval_fn(
+                state, jnp.asarray(t_out, dtype=state.total_time.dtype)
+            )
+            float(state.total_time)  # completion barrier
 
         overflow = _overflow_reason(sim.cfg, state)
         if overflow:
             if not auto_retune:
                 raise RuntimeError(overflow)
-            sim, state = _retune(sim, prev_state, state)
+            with hourglass.section("02b Retune neighbor windows"):
+                sim, state = _retune(sim, prev_state, state)
+                sim.hourglass = hourglass
             continue  # replay the same interval with bigger windows
 
         counter += 1
         intervals += 1
 
         if save_callback is not None:
-            save_callback(counter, state)
+            with hourglass.section("13 Save Particle Data"):
+                save_callback(counter, state)
         if log_callback is not None:
             tt = float(state.total_time)
             log_callback(
