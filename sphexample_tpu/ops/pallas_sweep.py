@@ -337,15 +337,19 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                     )
                 )
 
-            def seg_dma(s, slot):
+            def seg_dma(s):
                 return pltpu.make_async_copy(
                     packed_hbm.at[:, pl.ds(seg_rs_al[s], cwin)],
-                    cand_buf.at[slot], sem.at[1 + slot],
+                    cand_buf.at[s], sem.at[1 + s],
                 )
 
-            @pl.when(seg_re[0] > seg_rs[0])
-            def _():
-                seg_dma(0, 0).start()
+            # launch ALL segment DMAs up front: the per-DMA latency (~us)
+            # dwarfs both the transfer and the per-segment compute, so the
+            # kernel is latency-bound unless the copies fly concurrently.
+            for s in range(S):
+                @pl.when(seg_re[s] > seg_rs[s])
+                def _():
+                    seg_dma(s).start()
 
             cp_self.wait()
 
@@ -366,18 +370,12 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
             for s in range(S):
-                slot = s % 2
-                if s + 1 < S:
-                    @pl.when(seg_re[s + 1] > seg_rs[s + 1])
-                    def _():
-                        seg_dma(s + 1, (s + 1) % 2).start()
-
                 @pl.when(seg_re[s] > seg_rs[s])  # skip empty segments
                 def _segment():
-                    seg_dma(s, slot).wait()
+                    seg_dma(s).wait()
 
                     rem_s = seg_rs[s] - seg_rs_al[s]           # in [0, 128)
-                    rolled = pltpu.roll(cand_buf[slot], shift=-rem_s, axis=1)
+                    rolled = pltpu.roll(cand_buf[s], shift=-rem_s, axis=1)
                     idx_j = seg_rs[s] + lane_ids
                     within = (
                         self_valid
@@ -506,9 +504,9 @@ def pallas_pair_sweep(
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((nfields_pad, SELF_WIN), jnp.float32),
-            pltpu.VMEM((2, nfields_pad, cseg + 128), jnp.float32),
+            pltpu.VMEM((S, nfields_pad, cseg + 128), jnp.float32),
             pltpu.VMEM((n_keys, R, cseg), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((1 + S,)),
         ],
     )
 
