@@ -24,6 +24,7 @@ def main():
         DensityDiffusionModel,
         Geometry,
         KernelFamily,
+        KernelOutputMode,
         MotionDetails,
         ParticleType,
         ShiftingMode,
