@@ -67,7 +67,7 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
         timesteps.append(info["dt"])
         logger.log_step(info, meta.simulation_time)
 
-    run_simulation(
+    sim = run_simulation(
         sim,
         save_callback=save,
         log_callback=log,

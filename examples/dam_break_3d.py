@@ -82,7 +82,7 @@ def main():
         logger = SimulationLogger(meta.save_location)
         logger.initialize(meta, const, kern, "artificial", "linear", [], sim.n_live)
         out = OutputManager(meta, kern, sim.cfg.grid, sim.n_live)
-        run_simulation(
+        sim = run_simulation(
             sim,
             save_callback=out.save,
             log_callback=lambda info: logger.log_step(info, meta.simulation_time),

@@ -29,7 +29,7 @@ from ..io.csv_io import load_boundary_normals, load_geometries
 from ..ops import cell_list as cl
 from ..ops.interactions import PhysicsSpec
 from ..models import equations as eq
-from ..state import Particles, SimulationState, allocate_particles
+from ..state import SimulationState, allocate_particles
 from .motion import build_motion_table
 from .step import StepConfig, make_interval_fn
 
@@ -239,6 +239,15 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
         raise RuntimeError(
             "neighbor-window retune made no progress; raise max_per_cell manually"
         )
+    import sys
+
+    print(
+        f"[sphexample_tpu] neighbor windows outgrown (occ {occ}, seg {seg}, "
+        f"cells {ncc}); retuning mpc {cfg.mpc}->{new_cfg.mpc}, cseg "
+        f"{cfg.cseg}->{new_cfg.cseg}, maxc {cfg.maxc}->{new_cfg.maxc} and "
+        f"replaying the interval (recompile)",
+        file=sys.stderr,
+    )
     new_sim = Simulation(
         cfg=new_cfg, state=prev_state, meta=sim.meta, n_live=sim.n_live
     )

@@ -8,7 +8,7 @@ becomes a small dense device table indexed by group marker.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp

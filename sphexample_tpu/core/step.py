@@ -27,9 +27,7 @@ Stage numbering mirrors the reference's timer taxonomy (SURVEY.md section 3.2):
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

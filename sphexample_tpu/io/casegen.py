@@ -9,8 +9,6 @@ end - extents taken from ``input/dam_break_3d/DamBreak3d_Dp0.02_*.csv``.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 from ..config import ParticleType

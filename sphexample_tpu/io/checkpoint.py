@@ -10,8 +10,6 @@ reset the reference performs every ``SimulationLoop`` call).
 
 from __future__ import annotations
 
-import dataclasses
-import json
 import os
 from typing import Tuple
 
@@ -19,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..state import Particles, SimulationState
+from ..state import SimulationState
 
 
 def save_checkpoint(path: str, state: SimulationState, counter: int):

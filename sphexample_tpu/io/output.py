@@ -9,7 +9,7 @@ cell-grid debug file, in either single-file transient or multi-file mode.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

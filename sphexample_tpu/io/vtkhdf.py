@@ -21,7 +21,7 @@ layouts are identical (Points is (N, 3) on disk in both).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import h5py
 import numpy as np

@@ -27,7 +27,6 @@ both endpoints, diffusion role-order quirk via global sorted indices).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,9 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import KernelOutputMode, ShiftingMode
-from ..models import density_diffusion as dd
-from ..models import kernels as K
-from ..models import viscosity as visc
 from .cell_list import Grid, linearize, stencil_rows
 from .interactions import PhysicsSpec, SweepOut
 
