@@ -86,7 +86,11 @@ def assemble_simulation(
         # 128 (lane); DMA windows must fit the capacity.
         occ0, seg0 = cl.measure_occupancy(position, kernel.H_inv, grid)
         ncc0 = cl.count_occupied(position, kernel.H_inv, grid)
-        mpc_exact = meta.max_per_cell or int(occ0 * 1.25) + 2
+        # row headroom is free with the compacted chunk list (chunks only
+        # materialize where cells actually grow), so budget generously to
+        # avoid mid-run retunes; the candidate window (cseg) costs real
+        # lanes and keeps tighter 25% headroom + auto-retune.
+        mpc_exact = meta.max_per_cell or int(occ0 * 1.6) + 2
         mpc_pad = -(-mpc_exact // 8) * 8
         cseg = -(-(int(seg0 * 1.25) + 2) // 128) * 128
         mpc = mpc_pad
@@ -143,7 +147,7 @@ def assemble_simulation(
             min(grid.ncells, int(particles.capacity), meta.max_occupied_cells)
             if meta.max_occupied_cells
             else min(grid.ncells, int(particles.capacity),
-                     (int(ncc0 * 1.5) + 64) if meta.use_pallas else 10**9)
+                     (int(ncc0 * 2.0) + 64) if meta.use_pallas else 10**9)
         ),
     )
 
