@@ -152,10 +152,50 @@ class TransientPolyDataWriter:
             for ds in ("NumberOfCells", "NumberOfConnectivityIds", "Offsets", "Connectivity"):
                 _append(root[grp][ds], np.zeros(1, dtype=ID_T))
 
+        # flush per snapshot: keeps the file readable mid-run and bounds data
+        # loss on a crash to the last interval (the reference only closes
+        # files at exit / via CloseHDFVTKManually).
+        self.file.flush()
+
     def close(self):
         if self.file:
             self.file.close()
             self.file = None
+
+
+def read_transient_polydata(path: str, variables: Sequence[str] | None = None,
+                            steps: Sequence[int] | None = None):
+    """Read back a transient PolyData ``.vtkhdf`` written by
+    :class:`TransientPolyDataWriter` (post-processing / validation without
+    ParaView).
+
+    Yields ``(time, points, data)`` per step - ``points`` is [n, 3] float64,
+    ``data`` maps each requested PointData variable to its per-step slice.
+    ``variables=None`` reads every stored variable; ``steps`` selects a subset
+    of step indices (default: all).
+    """
+    # locking=False: read-only access must work alongside a live writer and on
+    # files whose writer died without clearing the HDF5 in-use superblock mark.
+    with h5py.File(path, "r", locking=False) as f:
+        root = f["VTKHDF"]
+        sgrp = root["Steps"]
+        times = np.asarray(sgrp["Values"])
+        point_off = np.asarray(sgrp["PointOffsets"])
+        n_points = np.asarray(root["NumberOfPoints"])
+        pdo = sgrp["PointDataOffsets"]
+        names = list(variables) if variables is not None else list(root["PointData"])
+        for name in names:
+            if name not in root["PointData"]:
+                raise KeyError(f"variable {name!r} not stored in {path}")
+        idxs = range(len(times)) if steps is None else steps
+        for k in idxs:
+            s, n = int(point_off[k]), int(n_points[k])
+            pts = np.asarray(root["Points"][s : s + n])
+            data = {}
+            for name in names:
+                vs = int(np.asarray(pdo[name])[k])
+                data[name] = np.asarray(root["PointData"][name][vs : vs + n])
+            yield float(times[k]), pts, data
 
 
 def save_polydata_snapshot(path: str, points3d: np.ndarray, data: Dict[str, np.ndarray]):
@@ -281,6 +321,7 @@ class TransientGridWriter:
         _append(root["Types"], np.full(ncells, vtk_type, dtype=np.uint8))
         _append(root["CellData"]["CellData"], cell_ids)
         _append(root["CellData"]["ChunkID"], chunk_ids.astype(ID_T))
+        self.file.flush()
 
     def close(self):
         if self.file:

@@ -217,3 +217,47 @@ def test_close_hdf_vtk_manually(tmp_path):
     with open(bad, "wb") as f:
         f.write(b"not hdf5")
     assert close_hdf_vtk_manually(str(tmp_path)) == [bad]
+
+
+def test_transient_polydata_read_roundtrip(tmp_path):
+    """Writer -> reader round-trip, incl. mid-run readability (per-snapshot
+    flush) and variable subsetting."""
+    import h5py  # noqa: F401
+    from sphexample_tpu.io.vtkhdf import (
+        TransientPolyDataWriter,
+        read_transient_polydata,
+    )
+
+    path = os.path.join(str(tmp_path), "rt.vtkhdf")
+    w = TransientPolyDataWriter(
+        path, {"Density": (np.float64, False), "Velocity": (np.float64, True)}
+    )
+    rng = np.random.default_rng(0)
+    snaps = []
+    for k in range(3):
+        n = 10 + 5 * k  # varying particle counts per step
+        pts = rng.normal(size=(n, 3))
+        rho = rng.uniform(990, 1010, size=n)
+        vel = rng.normal(size=(n, 3))
+        w.append(0.1 * k, pts, {"Density": rho, "Velocity": vel})
+        snaps.append((0.1 * k, pts, rho, vel))
+
+    # file is readable BEFORE close thanks to the per-snapshot flush
+    got_open = list(read_transient_polydata(path))
+    assert len(got_open) == 3
+    w.close()
+
+    got = list(read_transient_polydata(path))
+    for (t0, p0, r0, v0), (t1, p1, d1) in zip(snaps, got):
+        assert t1 == pytest.approx(t0)
+        np.testing.assert_allclose(p1, p0)
+        np.testing.assert_allclose(d1["Density"], r0)
+        np.testing.assert_allclose(d1["Velocity"], v0)
+
+    # variable subset + step subset
+    sub = list(read_transient_polydata(path, variables=["Density"], steps=[2]))
+    assert len(sub) == 1 and set(sub[0][2]) == {"Density"}
+    assert len(sub[0][2]["Density"]) == 20
+
+    with pytest.raises(KeyError):
+        next(read_transient_polydata(path, variables=["NoSuchVar"]))
