@@ -18,6 +18,10 @@ def standard_argparser(default_save: str) -> argparse.ArgumentParser:
     ap.add_argument("--max-intervals", type=int, default=None)
     ap.add_argument("--checkpoint-every", type=int, default=None,
                     help="write a resume checkpoint every N outputs")
+    ap.add_argument("--resume", default=None, metavar="CHECKPOINT.npz",
+                    help="resume from a checkpoint written by "
+                         "--checkpoint-every; continues the existing "
+                         "transient VTKHDF files in place")
     ap.add_argument("--kernel-output", action="store_true",
                     help="store per-particle kernel sums (StoreKernelOutput mode)")
     return ap
@@ -37,22 +41,34 @@ def apply_backend_args(args):
 def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
              particle_normals_path=None):
     from sphexample_tpu import build_simulation, run_simulation
-    from sphexample_tpu.io.checkpoint import save_checkpoint
+    from sphexample_tpu.io.checkpoint import load_checkpoint, save_checkpoint
     from sphexample_tpu.io.output import OutputManager
     from sphexample_tpu.io.paraview import write_paraview_state
     from sphexample_tpu.io.vtkhdf import clean_simulation_folder
     from sphexample_tpu.utils.logger import SimulationLogger
 
-    clean_simulation_folder(meta.save_location)
+    resume_path = getattr(args, "resume", None)
+    if not resume_path:
+        clean_simulation_folder(meta.save_location)
     sim = build_simulation(
         geoms, meta, const, kern, viscosity, diffusion,
         particle_normals_path=particle_normals_path,
     )
 
-    logger = SimulationLogger(meta.save_location)
+    start_counter = 1
+    if resume_path:
+        sim.state, start_counter = load_checkpoint(resume_path, sim.state)
+
+    logger = SimulationLogger(meta.save_location, append=bool(resume_path))
     logger.initialize(meta, const, kern, viscosity.value, diffusion.value,
                       geoms, sim.n_live)
-    out = OutputManager(meta, kern, sim.cfg.grid, sim.n_live)
+    if resume_path:
+        logger.logger.info(
+            f"resuming from {resume_path} at output counter {start_counter} "
+            f"(t = {float(sim.state.total_time):.5f} s)"
+        )
+    out = OutputManager(meta, kern, sim.cfg.grid, sim.n_live,
+                        resume_counter=start_counter if resume_path else None)
 
     def save(counter, state):
         out.save(counter, state)
@@ -72,6 +88,7 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
         save_callback=save,
         log_callback=log,
         max_intervals=args.max_intervals,
+        start_counter=start_counter,
     )
     out.close()
     if sim.hourglass is not None:

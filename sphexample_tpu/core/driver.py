@@ -264,6 +264,7 @@ def run_simulation(
     log_callback: Optional[Callable[[dict], None]] = None,
     max_intervals: Optional[int] = None,
     auto_retune: bool = True,
+    start_counter: int = 1,
 ) -> Simulation:
     """Outer host loop over output intervals (reference SPHCellList.jl:881-929).
 
@@ -277,8 +278,10 @@ def run_simulation(
 
     meta = sim.meta
     state = sim.state
-    counter = 1
-    if save_callback is not None:
+    counter = start_counter
+    if save_callback is not None and counter == 1:
+        # initial-state snapshot; on resume (start_counter > 1) the snapshot
+        # for this counter already exists in the reopened output files
         save_callback(counter, state)
 
     # stage-level wall accounting (reference's TimerOutputs taxonomy,

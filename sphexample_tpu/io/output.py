@@ -36,7 +36,11 @@ _VAR_DTYPES = {
 
 
 class OutputManager:
-    def __init__(self, meta: SimulationMetaData, kernel, grid, n_live: int):
+    def __init__(self, meta: SimulationMetaData, kernel, grid, n_live: int,
+                 resume_counter: Optional[int] = None):
+        """``resume_counter``: reopen existing transient files in append mode
+        and truncate them to the checkpoint's snapshot count (counters 1..c
+        are c snapshots) so a resumed run continues the same file."""
         self.meta = meta
         self.kernel = kernel
         self.grid = grid
@@ -46,12 +50,22 @@ class OutputManager:
         self.base = base
         self.var_specs = {name: _VAR_DTYPES[name] for name in meta.output_variables}
 
+        mode = "a" if resume_counter else "w"
         self.particle_writer: Optional[vh.TransientPolyDataWriter] = None
         self.grid_writer: Optional[vh.TransientGridWriter] = None
         if meta.export_single_vtkhdf:
-            self.particle_writer = vh.TransientPolyDataWriter(f"{base}.vtkhdf", self.var_specs)
+            self.particle_writer = vh.TransientPolyDataWriter(
+                f"{base}.vtkhdf", self.var_specs, mode=mode
+            )
             if meta.export_grid_cells:
-                self.grid_writer = vh.TransientGridWriter(f"{base}_GridCells.vtkhdf")
+                self.grid_writer = vh.TransientGridWriter(
+                    f"{base}_GridCells.vtkhdf", mode=mode
+                )
+        if resume_counter:
+            if self.particle_writer is not None:
+                self.particle_writer.truncate_steps(resume_counter)
+            if self.grid_writer is not None:
+                self.grid_writer.truncate_steps(resume_counter)
 
     def save(self, counter: int, state: SimulationState):
         n = self.n_live

@@ -78,12 +78,28 @@ def _append(ds, rows: np.ndarray):
 
 
 class TransientPolyDataWriter:
-    """Single-file transient particle output (default mode)."""
+    """Single-file transient particle output (default mode).
 
-    def __init__(self, path: str, var_specs: Dict[str, tuple]):
+    ``mode="a"`` reopens an existing transient file and appends after its
+    last snapshot (crash-resume); combine with :meth:`truncate_steps` to drop
+    snapshots written after the checkpoint being resumed from.
+    """
+
+    def __init__(self, path: str, var_specs: Dict[str, tuple], mode: str = "w"):
         """``var_specs``: ordered {name: (numpy dtype, is_vector)}."""
         self.path = path
         self.variable_names = list(var_specs)
+        if mode == "a" and os.path.exists(path):
+            self.file = h5py.File(path, "a")
+            self.root = self.file["VTKHDF"]
+            self.steps = self.root["Steps"]
+            missing = [n for n in self.variable_names
+                       if n not in self.root["PointData"]]
+            if missing:
+                raise ValueError(
+                    f"cannot append to {path}: variables {missing} not in file"
+                )
+            return
         self.file = h5py.File(path, "w")
         root = self.file.create_group("VTKHDF")
         self.root = root
@@ -155,6 +171,31 @@ class TransientPolyDataWriter:
         # flush per snapshot: keeps the file readable mid-run and bounds data
         # loss on a crash to the last interval (the reference only closes
         # files at exit / via CloseHDFVTKManually).
+        self.file.flush()
+
+    def truncate_steps(self, n_keep: int):
+        """Drop all snapshots after the first ``n_keep`` (resume support)."""
+        root, steps = self.root, self.steps
+        nsteps = int(steps.attrs["NSteps"])
+        if n_keep >= nsteps:
+            return
+        point_off = np.asarray(steps["PointOffsets"])
+        npts = int(point_off[n_keep])  # start of the first dropped step
+        root["Points"].resize(npts, axis=0)
+        root["NumberOfPoints"].resize(n_keep, axis=0)
+        for name in self.variable_names:
+            voff = int(np.asarray(steps["PointDataOffsets"][name])[n_keep])
+            root["PointData"][name].resize(voff, axis=0)
+            steps["PointDataOffsets"][name].resize(n_keep, axis=0)
+        for grp in _CONNECTIVITY_GROUPS:
+            for ds in ("NumberOfCells", "NumberOfConnectivityIds", "Offsets",
+                       "Connectivity"):
+                root[grp][ds].resize(n_keep, axis=0)
+        for name in ("Values", "PartOffsets", "NumberOfParts", "PointOffsets"):
+            steps[name].resize(n_keep, axis=0)
+        for name in ("CellOffsets", "ConnectivityIdOffsets"):
+            steps[name].resize(n_keep, axis=0)
+        steps.attrs.modify("NSteps", np.asarray(n_keep, dtype=np.int64))
         self.file.flush()
 
     def close(self):
@@ -272,7 +313,12 @@ class TransientGridWriter:
     """Transient UnstructuredGrid cell-list debug output
     (reference AppendVTKHDFGridData, ProduceHDFVTK.jl:327-414)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, mode: str = "w"):
+        if mode == "a" and os.path.exists(path):
+            self.file = h5py.File(path, "a")
+            self.root = self.file["VTKHDF"]
+            self.steps = self.root["Steps"]
+            return
         self.file = h5py.File(path, "w")
         root = self.file.create_group("VTKHDF")
         self.root = root
@@ -321,6 +367,34 @@ class TransientGridWriter:
         _append(root["Types"], np.full(ncells, vtk_type, dtype=np.uint8))
         _append(root["CellData"]["CellData"], cell_ids)
         _append(root["CellData"]["ChunkID"], chunk_ids.astype(ID_T))
+        self.file.flush()
+
+    def truncate_steps(self, n_keep: int):
+        """Drop all snapshots after the first ``n_keep`` (resume support).
+
+        Per-step row counts vary with the occupied-cell count, so lengths are
+        reconstructed from the per-step NumberOfCells/NumberOfPoints records.
+        """
+        root, steps = self.root, self.steps
+        nsteps = int(steps.attrs["NSteps"])
+        if n_keep >= nsteps:
+            return
+        n_cells = np.asarray(root["NumberOfCells"])[:n_keep]
+        tot_cells = int(n_cells.sum())
+        npts = int(np.asarray(steps["PointOffsets"])[n_keep])
+        root["Points"].resize(npts, axis=0)
+        root["Connectivity"].resize(npts, axis=0)
+        # Offsets: each step contributes ncells_j + 1 rows
+        root["Offsets"].resize(tot_cells + n_keep, axis=0)
+        root["Types"].resize(tot_cells, axis=0)
+        root["CellData"]["CellData"].resize(tot_cells, axis=0)
+        root["CellData"]["ChunkID"].resize(tot_cells, axis=0)
+        for name in ("NumberOfPoints", "NumberOfCells", "NumberOfConnectivityIds"):
+            root[name].resize(n_keep, axis=0)
+        for name in ("Values", "PartOffsets", "NumberOfParts", "PointOffsets",
+                     "CellOffsets", "ConnectivityIdOffsets"):
+            steps[name].resize(n_keep, axis=0)
+        steps.attrs.modify("NSteps", np.asarray(n_keep, dtype=np.int64))
         self.file.flush()
 
     def close(self):

@@ -22,6 +22,7 @@ class SimulationLogger:
     save_location: str
     to_console: bool = True
     name: str = "sphexample_tpu"
+    append: bool = False  # resume: keep the previous run's log lines
 
     def __post_init__(self):
         os.makedirs(self.save_location, exist_ok=True)
@@ -30,7 +31,7 @@ class SimulationLogger:
         self.logger.setLevel(logging.INFO)
         self.logger.propagate = False
         self.logger.handlers.clear()
-        fh = logging.FileHandler(self.path, mode="w")
+        fh = logging.FileHandler(self.path, mode="a" if self.append else "w")
         fh.setFormatter(logging.Formatter("%(message)s"))
         self.logger.addHandler(fh)
         if self.to_console:
