@@ -89,8 +89,10 @@ def assemble_simulation(
         # row headroom is free with the compacted chunk list (chunks only
         # materialize where cells actually grow), so budget generously to
         # avoid mid-run retunes; the candidate window (cseg) costs real
-        # lanes and keeps tighter 25% headroom + auto-retune.
-        mpc_exact = meta.max_per_cell or int(occ0 * 1.6) + 2
+        # lanes and keeps tighter 25% headroom + auto-retune.  2x: measured
+        # 3D dam-break impact compresses cells to 1.63x their at-rest
+        # occupancy (occ 160 -> 259 by t=0.24 s).
+        mpc_exact = meta.max_per_cell or int(occ0 * 2.0) + 2
         mpc_pad = -(-mpc_exact // 8) * 8
         cseg = -(-(int(seg0 * 1.25) + 2) // 128) * 128
         mpc = mpc_pad
