@@ -90,7 +90,7 @@ class TransientPolyDataWriter:
         self.path = path
         self.variable_names = list(var_specs)
         if mode == "a" and os.path.exists(path):
-            self.file = h5py.File(path, "a")
+            self.file = h5py.File(path, "a", locking=False)
             self.root = self.file["VTKHDF"]
             self.steps = self.root["Steps"]
             missing = [n for n in self.variable_names
@@ -100,7 +100,7 @@ class TransientPolyDataWriter:
                     f"cannot append to {path}: variables {missing} not in file"
                 )
             return
-        self.file = h5py.File(path, "w")
+        self.file = h5py.File(path, "w", locking=False)
         root = self.file.create_group("VTKHDF")
         self.root = root
         root.attrs.create("Version", np.asarray([2, 3], dtype=np.int32))
@@ -242,7 +242,7 @@ def read_transient_polydata(path: str, variables: Sequence[str] | None = None,
 def save_polydata_snapshot(path: str, points3d: np.ndarray, data: Dict[str, np.ndarray]):
     """Multi-file mode: one PolyData file with real vertex cells
     (reference SaveVTKHDF, ProduceHDFVTK.jl:120-160)."""
-    with h5py.File(path, "w") as f:
+    with h5py.File(path, "w", locking=False) as f:
         root = f.create_group("VTKHDF")
         root.attrs.create("Version", np.asarray([2, 3], dtype=np.int32))
         _ascii_attr(root, "Type", "PolyData")
@@ -315,11 +315,11 @@ class TransientGridWriter:
 
     def __init__(self, path: str, mode: str = "w"):
         if mode == "a" and os.path.exists(path):
-            self.file = h5py.File(path, "a")
+            self.file = h5py.File(path, "a", locking=False)
             self.root = self.file["VTKHDF"]
             self.steps = self.root["Steps"]
             return
-        self.file = h5py.File(path, "w")
+        self.file = h5py.File(path, "w", locking=False)
         root = self.file.create_group("VTKHDF")
         self.root = root
         root.attrs.create("Version", np.asarray([2, 3], dtype=np.int32))
