@@ -39,8 +39,12 @@ def apply_backend_args(args):
 
 
 def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
-             particle_normals_path=None):
-    from sphexample_tpu import build_simulation, run_simulation
+             particle_normals_path=None, arrays=None):
+    """``arrays``: optional (position, density, ptype, group_marker, id)
+    tuple from a procedural case generator (io/casegen.py), used instead of
+    the ``geoms`` CSV list when the reference input CSVs are unavailable."""
+    from sphexample_tpu import (assemble_simulation, build_simulation,
+                                run_simulation)
     from sphexample_tpu.io.checkpoint import load_checkpoint, save_checkpoint
     from sphexample_tpu.io.output import OutputManager
     from sphexample_tpu.io.paraview import write_paraview_state
@@ -50,10 +54,13 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
     resume_path = getattr(args, "resume", None)
     if not resume_path:
         clean_simulation_folder(meta.save_location)
-    sim = build_simulation(
-        geoms, meta, const, kern, viscosity, diffusion,
-        particle_normals_path=particle_normals_path,
-    )
+    if arrays is not None:
+        sim = assemble_simulation(*arrays, meta, const, kern, viscosity, diffusion)
+    else:
+        sim = build_simulation(
+            geoms, meta, const, kern, viscosity, diffusion,
+            particle_normals_path=particle_normals_path,
+        )
 
     start_counter = 1
     if resume_path:

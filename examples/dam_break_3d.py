@@ -29,7 +29,6 @@ def main():
         SimulationConstants,
         SimulationMetaData,
         ViscosityModel,
-        assemble_simulation,
         make_kernel,
     )
 
@@ -64,34 +63,11 @@ def main():
         run_case(args, geoms, meta, const, kern,
                  ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR)
     else:
-        import os
-
-        from sphexample_tpu import run_simulation
         from sphexample_tpu.io.casegen import dam_break_3d
-        from sphexample_tpu.io.output import OutputManager
-        from sphexample_tpu.io.paraview import write_paraview_state
-        from sphexample_tpu.io.vtkhdf import clean_simulation_folder
-        from sphexample_tpu.utils.logger import SimulationLogger
 
-        clean_simulation_folder(meta.save_location)
-        pos, dens, ptype, grp, idp = dam_break_3d(dx)
-        sim = assemble_simulation(
-            pos, dens, ptype, grp, idp, meta, const, kern,
-            ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
-        )
-        logger = SimulationLogger(meta.save_location)
-        logger.initialize(meta, const, kern, "artificial", "linear", [], sim.n_live)
-        out = OutputManager(meta, kern, sim.cfg.grid, sim.n_live)
-        sim = run_simulation(
-            sim,
-            save_callback=out.save,
-            log_callback=lambda info: logger.log_step(info, meta.simulation_time),
-            max_intervals=args.max_intervals,
-        )
-        out.close()
-        logger.log_final(sim.state)
-        write_paraview_state(meta)
-        logger.close()
+        run_case(args, [], meta, const, kern,
+                 ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+                 arrays=dam_break_3d(dx))
 
 
 if __name__ == "__main__":
