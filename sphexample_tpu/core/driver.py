@@ -89,9 +89,11 @@ def assemble_simulation(
         # row headroom is free with the compacted chunk list (chunks only
         # materialize where cells actually grow), so budget generously to
         # avoid mid-run retunes; the candidate window (cseg) costs real
-        # lanes and keeps tighter 25% headroom + auto-retune.  2x: measured
-        # 3D dam-break impact compresses cells to 1.63x their at-rest
-        # occupancy (occ 160 -> 259 by t=0.24 s).
+        # lanes and keeps tighter 25% headroom + auto-retune.  Measured 3D
+        # dam-break impact compresses cells to >2.3x their at-rest max
+        # occupancy (64 -> 147 by t=0.19 s), so even 2x may retune once
+        # during the most violent phase - by design for the lanes, and the
+        # retune itself now grows decisively (see _retune).
         mpc_exact = meta.max_per_cell or int(occ0 * 2.0) + 2
         mpc_pad = -(-mpc_exact // 8) * 8
         cseg = -(-(int(seg0 * 1.25) + 2) // 128) * 128
@@ -230,8 +232,12 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
     cfg = sim.cfg
 
     if cfg.use_pallas:
-        mpc = -(-(int(occ * 1.25) + 2) // 8) * 8
-        cseg = -(-(int(max(seg, 3 * occ) * 1.25) + 2) // 128) * 128
+        # a retune fires while occupancy is still climbing (dam-break impact
+        # compresses cells to >2x their at-rest max), and each one costs a
+        # full recompile - grow decisively: rows are free (2x), candidate
+        # lanes cost VMEM but repeated recompiles cost minutes (1.5x).
+        mpc = -(-(int(occ * 2.0) + 2) // 8) * 8
+        cseg = -(-(int(max(seg, 3 * occ) * 1.5) + 2) // 128) * 128
         maxc = min(cfg.grid.ncells, ncc * 2 + 256)
         new_cap = max(prev_state.particles.capacity, cseg + 128, sim.n_live + 256)
         new_cap = -(-new_cap // 128) * 128
