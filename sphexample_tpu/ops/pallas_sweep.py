@@ -359,7 +359,12 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
 
             def self_field(f):
                 col = jnp.transpose(self_buf[f : f + 1, :])    # [SELF_WIN, 1]
-                return pltpu.roll(col, shift=-rem, axis=0)[0:R, :]
+                # positive modular shift: compiled Mosaic mis-lowers dynamic
+                # NEGATIVE roll shifts on the lane axis (off by exactly -128;
+                # interpret mode is correct, which is why parity tests in
+                # interpret mode never caught it).  Use the positive
+                # equivalent everywhere.
+                return pltpu.roll(col, shift=SELF_WIN - rem, axis=0)[0:R, :]
 
             self_f = [self_field(f) for f in range(nfields)]
 
@@ -371,7 +376,9 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                     seg_dma(s).wait()
 
                     rem_s = seg_rs[s] - seg_rs_al[s]           # in [0, 128)
-                    rolled = pltpu.roll(cand_buf[s], shift=-rem_s, axis=1)
+                    # positive modular shift (see self_field note): dynamic
+                    # negative lane rolls are mis-compiled by an extra -128.
+                    rolled = pltpu.roll(cand_buf[s], shift=cwin - rem_s, axis=1)
                     idx_j = seg_rs[s] + lane_ids
                     within = (
                         self_valid
