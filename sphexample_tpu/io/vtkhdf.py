@@ -214,6 +214,11 @@ def read_transient_polydata(path: str, variables: Sequence[str] | None = None,
     ``data`` maps each requested PointData variable to its per-step slice.
     ``variables=None`` reads every stored variable; ``steps`` selects a subset
     of step indices (default: all).
+
+    Reading while a writer is appending works (per-snapshot flush +
+    lock-free open) but is not SWMR: a read racing the in-progress append
+    can transiently fail with ``OSError: addr overflow``.  Retry, or
+    restrict ``steps`` to all-but-the-last snapshot.
     """
     # locking=False: read-only access must work alongside a live writer and on
     # files whose writer died without clearing the HDF5 in-use superblock mark.
