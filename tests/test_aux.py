@@ -261,3 +261,62 @@ def test_transient_polydata_read_roundtrip(tmp_path):
 
     with pytest.raises(KeyError):
         next(read_transient_polydata(path, variables=["NoSuchVar"]))
+
+
+def test_transient_truncate_and_append(tmp_path):
+    """truncate_steps + append-mode reopen (the resume path) on both writers."""
+    from sphexample_tpu.io.vtkhdf import (
+        TransientGridWriter,
+        TransientPolyDataWriter,
+        read_transient_polydata,
+    )
+
+    path = os.path.join(str(tmp_path), "tr.vtkhdf")
+    rng = np.random.default_rng(1)
+    specs = {"Density": (np.float64, False)}
+    snaps = []
+    w = TransientPolyDataWriter(path, specs)
+    for k in range(4):
+        pts = rng.normal(size=(6 + k, 3))
+        rho = rng.uniform(size=6 + k)
+        w.append(0.1 * k, pts, {"Density": rho})
+        snaps.append((pts, rho))
+    w.close()
+
+    # reopen in append mode, truncate to 2 steps, append a fresh step 3
+    w = TransientPolyDataWriter(path, specs, mode="a")
+    w.truncate_steps(2)
+    pts3 = rng.normal(size=(11, 3))
+    rho3 = rng.uniform(size=11)
+    w.append(0.99, pts3, {"Density": rho3})
+    w.close()
+
+    got = list(read_transient_polydata(path))
+    assert len(got) == 3
+    np.testing.assert_allclose(got[0][1], snaps[0][0])
+    np.testing.assert_allclose(got[1][2]["Density"], snaps[1][1])
+    assert got[2][0] == pytest.approx(0.99)
+    np.testing.assert_allclose(got[2][1], pts3)
+
+    # grid writer: varying cells per step, truncate, re-append
+    gpath = os.path.join(str(tmp_path), "gr.vtkhdf")
+    g = TransientGridWriter(gpath)
+    for k in range(3):
+        cells = np.argwhere(np.ones((2 + k, 2, 2))).astype(np.int64)
+        g.append(0.1 * k, 0.5, cells, np.zeros(len(cells), np.int64))
+    g.close()
+    g = TransientGridWriter(gpath, mode="a")
+    g.truncate_steps(1)
+    cells = np.argwhere(np.ones((5, 1, 1))).astype(np.int64)
+    g.append(0.77, 0.5, cells, np.zeros(len(cells), np.int64))
+    import h5py
+    g.close()
+    with h5py.File(gpath, "r", locking=False) as f:
+        steps = f["VTKHDF"]["Steps"]
+        assert int(steps.attrs["NSteps"]) == 2
+        np.testing.assert_allclose(np.asarray(steps["Values"]), [0.0, 0.77])
+        ncells = np.asarray(f["VTKHDF"]["NumberOfCells"])
+        assert list(ncells) == [8, 5]
+        # offsets dataset length = sum(ncells_j + 1)
+        assert f["VTKHDF"]["Offsets"].shape[0] == 8 + 5 + 2
+        assert f["VTKHDF"]["Types"].shape[0] == 13
