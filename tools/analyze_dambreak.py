@@ -34,9 +34,24 @@ def main():
           f"{'rho_min':>9} {'rho_max':>9} {'|v|_max':>8} {'NaN':>5}")
     bad = 0
     k = 0
-    for t, pts, data in read_transient_polydata(
-        args.path, variables=["Density", "Velocity", "Type"]
-    ):
+
+    def snapshots():
+        # a read racing the writer's in-progress append can transiently fail
+        # (non-SWMR); read snapshot-by-snapshot and skip any that raise
+        # (only the one being appended can).
+        import h5py
+        with h5py.File(args.path, "r", locking=False) as f:
+            nsteps = int(f["VTKHDF"]["Steps"].attrs["NSteps"])
+        for step in range(nsteps):
+            try:
+                yield from read_transient_polydata(
+                    args.path, variables=["Density", "Velocity", "Type"],
+                    steps=[step])
+            except OSError:
+                print(f"(snapshot {step} still being written - skipped)",
+                      file=sys.stderr)
+
+    for t, pts, data in snapshots():
         if k % args.every:
             k += 1
             continue
