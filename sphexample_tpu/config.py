@@ -289,8 +289,11 @@ class SimulationMetaData:
     block_size: int = 1024  # particle chunking for the pair sweep
     use_pallas: bool = False  # fused Pallas pair kernel (TPU only)
     # Cap on steps per device program; the host loops chunks per interval.
-    # Long single executions can trip remote-worker watchdogs.
-    max_steps_per_call: Optional[int] = 8
+    # Long single executions can trip remote-worker watchdogs (~60 s on the
+    # tunneled TPU).  64 steps of the 160k headline case is ~5 s per program
+    # at current kernel speed - 12x under the watchdog - while cutting the
+    # per-interval host round-trips from ~15 to ~2.
+    max_steps_per_call: Optional[int] = 64
 
     def output_time_for(self, counter: int) -> float:
         """next_output_time (reference src/SPHCellList.jl:687-698)."""
