@@ -8,6 +8,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libfastcsv.so fastcsv.cpp
 
+#include <algorithm>
 #include <cctype>
 #include <cstdint>
 #include <cstdlib>
@@ -110,6 +111,9 @@ long fastcsv_read_columns(const char* path, const int* col_idx, int ncols,
       ++p;
       continue;
     }
+    // reset per-row: a short/malformed row must not inherit the previous
+    // row's trailing column values
+    std::fill(row.begin(), row.end(), 0.0);
     int col = 0;
     while (p < end && *p != '\n') {
       // strtod skips leading whitespace; quotes are not expected in numeric

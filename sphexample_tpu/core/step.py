@@ -231,6 +231,25 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     return new_state, dx_acc
 
 
+def _check_interval_progress(state: SimulationState, t_out, it_before: int) -> None:
+    """Fail loudly instead of spinning when the state diverges.
+
+    A NaN ``total_time`` makes the while-loop cond (``t <= t_out``) false, so
+    a chunk returns instantly having taken zero steps — and the host exit test
+    (``t > t_out``) is also false for NaN, which used to busy-loop forever."""
+    t = float(state.total_time)
+    if t != t:  # NaN
+        raise FloatingPointError(
+            f"simulation diverged: total_time is NaN at iteration "
+            f"{int(state.iteration)}"
+        )
+    if t <= float(t_out) and int(state.iteration) == it_before:
+        raise FloatingPointError(
+            f"simulation stalled: no steps taken at t={t} < t_out="
+            f"{float(t_out)} (non-finite dt or state)"
+        )
+
+
 def make_interval_fn(cfg: StepConfig):
     """Build the per-output-interval function.
 
@@ -269,8 +288,10 @@ def make_interval_fn(cfg: StepConfig):
     def interval(state: SimulationState, t_out) -> SimulationState:
         dx = jnp.asarray(1.0 + cfg.spec.kernel.h, dtype=state.total_time.dtype)
         while True:
+            it_before = int(state.iteration)
             state, dx = chunk(state, t_out, dx)
-            if cap is None or float(state.total_time) > float(t_out):
+            _check_interval_progress(state, t_out, it_before)
+            if float(state.total_time) > float(t_out):
                 return state
 
     return interval

@@ -114,10 +114,14 @@ def make_sharded_interval_fn(cfg: StepConfig, mesh: Mesh, axis: str = AXIS):
     ))
 
     def interval(state: SimulationState, t_out) -> SimulationState:
+        from ..core.step import _check_interval_progress
+
         dx = jnp.asarray(1.0 + cfg.spec.kernel.h, dtype=state.total_time.dtype)
         while True:
+            it_before = int(state.iteration)
             state, dx = sharded_chunk(state, t_out, dx)
-            if cap is None or float(state.total_time) > float(t_out):
+            _check_interval_progress(state, t_out, it_before)
+            if float(state.total_time) > float(t_out):
                 return state
 
     return interval, cfg

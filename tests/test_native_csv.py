@@ -44,3 +44,16 @@ def test_loader_roundtrip():
     pts, rho, idp = load_particle_csv(REF, dims=2)
     assert pts.shape[1] == 2 and len(rho) == len(idp) == len(pts)
     assert rho.min() > 900 and idp.min() >= 1
+
+
+@pytest.mark.skipif(get_lib() is None, reason="native toolchain unavailable")
+def test_native_short_row_does_not_inherit_previous(tmp_path):
+    # A malformed short row must yield zeros for its missing trailing
+    # columns, not the previous row's values.
+    p = tmp_path / "short.csv"
+    p.write_text("A,B,C\n1,2,3\n4\n7,8,9\n")
+    arr = read_csv_columns(str(p), ["A", "B", "C"])
+    assert arr is not None
+    np.testing.assert_allclose(
+        arr, [[1, 2, 3], [4, 0, 0], [7, 8, 9]], rtol=0, atol=0
+    )

@@ -24,10 +24,10 @@ from sphexample_tpu.ops.pallas_sweep import pallas_pair_sweep
 from sphexample_tpu.state import allocate_particles
 
 
-def _setup(dims, n=220, seed=3, capacity=512):
+def _setup(dims, n=220, seed=3, capacity=512, family=KernelFamily.WENDLAND_C2):
     rng = np.random.default_rng(seed)
     const = SimulationConstants(dx=0.05, cfl=0.5)
-    kern = make_kernel(KernelFamily.WENDLAND_C2, dims, dx=const.dx)
+    kern = make_kernel(family, dims, dx=const.dx)
     side = int(np.ceil(n ** (1 / dims)))
     coords = np.stack(
         np.meshgrid(*([np.arange(side) * const.dx] * dims), indexing="ij"), axis=-1
@@ -53,15 +53,25 @@ def _setup(dims, n=220, seed=3, capacity=512):
 
 @pytest.mark.parametrize("dims", [2, 3])
 @pytest.mark.parametrize(
-    "visc,diff",
+    "visc,diff,family",
     [
-        (ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR),
-        (ViscosityModel.LAMINAR_SPS, DensityDiffusionModel.ZERO_GRAVITY_LINEAR),
-        (ViscosityModel.ZERO, DensityDiffusionModel.ZERO),
+        (ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+         KernelFamily.WENDLAND_C2),
+        (ViscosityModel.LAMINAR_SPS, DensityDiffusionModel.ZERO_GRAVITY_LINEAR,
+         KernelFamily.WENDLAND_C2),
+        (ViscosityModel.ZERO, DensityDiffusionModel.ZERO,
+         KernelFamily.WENDLAND_C2),
+        # COMPLEX exercises the inverse-EOS 7th-root branch; the cubic spline
+        # exercises the tensile-correction branch — both are independently
+        # re-expressed inside pallas_sweep._pair_math and must be pinned.
+        (ViscosityModel.ARTIFICIAL, DensityDiffusionModel.COMPLEX,
+         KernelFamily.WENDLAND_C2),
+        (ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+         KernelFamily.CUBIC_SPLINE),
     ],
 )
-def test_pallas_matches_xla_sweep(dims, visc, diff):
-    const, kern, grid, p, cell_start = _setup(dims)
+def test_pallas_matches_xla_sweep(dims, visc, diff, family):
+    const, kern, grid, p, cell_start = _setup(dims, family=family)
     spec = PhysicsSpec(
         constants=const, kernel=kern, viscosity=visc, diffusion=diff,
         shifting=ShiftingMode.PLANAR, kernel_output=KernelOutputMode.STORE,
