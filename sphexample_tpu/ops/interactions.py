@@ -37,7 +37,7 @@ from ..config import (
 from ..models import density_diffusion as dd
 from ..models import kernels as K
 from ..models import viscosity as visc
-from .cell_list import Grid, row_segments
+from .cell_list import Grid, linearize, row_segments
 
 
 @dataclass(frozen=True)
@@ -154,11 +154,20 @@ def pair_sweep(
         sym = _dot(-vij, grad_w)
         drho = -rho_i * (c.m0 / rho_j) * sym
 
-        # Density diffusion (reference :293-296) with role-order quirk.
-        i_is_lower = idx_i < j
+        # Density diffusion (reference :293-296) with the cell-centric
+        # role-order quirk: intra-cell pairs give the i role to the lower
+        # sorted index, cross-cell pairs to the particle in the *later* cell
+        # (the reference's half stencil keeps only earlier-sorting neighbor
+        # cells; see models/density_diffusion.py).  Particles are key-sorted,
+        # so cross-cell "later cell" == higher global sorted index.
+        key_i = linearize(coords_i, grid)
+        s_i = cell_start[key_i]
+        e_i = cell_start[key_i + 1]
+        same_cell = (j >= s_i) & (j < e_i)
+        i_is_role_i = jnp.where(same_cell, idx_i < j, idx_i > j)
         drho = drho + dd.compute_density_diffusion(
             spec.diffusion, kern, c, xij, grad_w, d2,
-            rho_i, rho_j, ml_i, ml_j, i_is_lower,
+            rho_i, rho_j, ml_i, ml_j, i_is_role_i,
         )
 
         # Momentum (reference :299-303) + tensile correction + viscosity.

@@ -67,6 +67,7 @@ def build_neighbor_list(
 
 def pair_sweep_list(
     spec,
+    grid: Grid,
     nbr,                   # [N, K] int32 (sentinel n)
     block_size: int,
     particles,
@@ -84,17 +85,19 @@ def pair_sweep_list(
     from ..models import density_diffusion as dd
     from ..models import kernels as Km
     from ..models import viscosity as visc
+    from .cell_list import linearize
     from .interactions import SweepOut
 
     kern = spec.kernel
     c = spec.constants
     n = position.shape[0]
     ml = particles.motion_limiter
+    keys = linearize(particles.cell, grid)
     want_kernel = spec.kernel_output is KernelOutputMode.STORE
     want_shift = spec.shifting is ShiftingMode.PLANAR
 
     def particle_fn(xs):
-        idx_i, nbr_i, pos_i, rho_i, p_i, vel_i, ml_i, act_i = xs
+        idx_i, key_i, nbr_i, pos_i, rho_i, p_i, vel_i, ml_i, act_i = xs
         valid = nbr_i < n
         j = jnp.minimum(nbr_i, n - 1)
 
@@ -117,9 +120,12 @@ def pair_sweep_list(
 
         sym = jnp.sum(-vij * grad_w, axis=-1)
         drho = -rho_i * (c.m0 / rho_j) * sym
+        # cell-centric role quirk (see models/density_diffusion.py)
+        same_cell = keys[j] == key_i
+        i_is_role_i = jnp.where(same_cell, idx_i < j, idx_i > j)
         drho = drho + dd.compute_density_diffusion(
             spec.diffusion, kern, c, xij, grad_w, d2,
-            rho_i, rho_j, ml_i, ml_j, idx_i < j,
+            rho_i, rho_j, ml_i, ml_j, i_is_role_i,
         )
 
         pfac = (p_i + p_j) / (rho_i * rho_j)
@@ -147,7 +153,8 @@ def pair_sweep_list(
         return out
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    xs = (idx, nbr, position, density, pressure, velocity, ml, particles.active)
+    xs = (idx, keys, nbr, position, density, pressure, velocity, ml,
+          particles.active)
     out = jax.lax.map(particle_fn, xs, batch_size=min(block_size, n))
     return SweepOut(
         drhodt=out["drhodt"],

@@ -21,7 +21,8 @@ Candidate HBM traffic drops from O(N * S * CSEG) to O(ncells * S * CSEG),
 i.e. by the mean cell occupancy (tens of x).
 
 The physics is identical to ``ops/interactions.py`` (each pair computed from
-both endpoints, diffusion role-order quirk via global sorted indices).
+both endpoints, cell-centric diffusion role-order quirk - see
+models/density_diffusion.py).
 """
 
 from __future__ import annotations
@@ -95,7 +96,7 @@ def _w_value(kern, q):
     return aD * (inner + outer)
 
 
-def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, idx_i, idx_j, within):
+def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
     """All per-pair physics, written fully component-wise on [MPC, CSEG]
     tiles - no stacked [..., D] arrays, no fancy indexing, so every op is a
     plain VPU elementwise op that Mosaic lowers directly.
@@ -145,14 +146,25 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, idx_i, idx_j, within):
             if diff is DensityDiffusionModel.LINEAR:
                 rho_h = P_h * ((1.0 / (c.Cb * c.gamma)) * c.rho0)
             else:  # COMPLEX: inverse hydrostatic EOS, 7th root
-                arg = 1.0 + P_h * c.Cb_inv
-                root = jnp.sign(arg) * jnp.exp(jnp.log(jnp.abs(arg) + 1e-30) * (1.0 / 7.0))
-                rho_h = c.rho0 * (root - 1.0)
+                # Not odd in P: the j-role endpoint evaluates the i-role
+                # orientation (-P_h) and flips the sign (see
+                # models/density_diffusion.py).
+                def _inv_eos(P):
+                    arg = 1.0 + P * c.Cb_inv
+                    root = jnp.sign(arg) * jnp.exp(
+                        jnp.log(jnp.abs(arg) + 1e-30) * (1.0 / 7.0)
+                    )
+                    return c.rho0 * (root - 1.0)
+
+                rho_h = jnp.where(
+                    i_is_role_i, _inv_eos(P_h), -_inv_eos(-P_h)
+                )
             psi_dot_gw = (
                 2.0 * (rho_ji - rho_h) * inv_d2 * (-sum(x * w for x, w in zip(xij, gw)))
             )
             ml_gate = ml_i * ml_j
-        vol = jnp.where(idx_i < idx_j, c.m0 / rho_j, c.m0 / rho_i)
+        # cell-centric role quirk: m0 / rho_(j-role particle)
+        vol = jnp.where(i_is_role_i, c.m0 / rho_j, c.m0 / rho_i)
         drho = drho + c.delta_sph * kern.h * c.c0 * vol * psi_dot_gw * ml_gate
 
     # momentum + tensile correction
@@ -385,9 +397,19 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                         & (idx_j < seg_re[s])
                         & (idx_j != idx_i)
                     )
+                    # diffusion role flag (cell-centric quirk): intra-cell
+                    # pairs give the i role to the lower sorted index,
+                    # cross-cell pairs to the particle in the later cell
+                    # (== higher sorted index, arrays are key-sorted).
+                    # NB: composed with logical ops, not jnp.where - Mosaic
+                    # cannot lower select on boolean vectors (i8->i1 trunci).
+                    same_cell = (idx_j >= s0_cell) & (idx_j < s0_cell + cnt_cell)
+                    i_is_role_i = (same_cell & (idx_i < idx_j)) | (
+                        (~same_cell) & (idx_i > idx_j)
+                    )
                     cand_f = [rolled[f : f + 1, 0:cseg] for f in range(nfields)]
                     terms = _pair_math(
-                        spec, dims, self_f, cand_f, idx_i, idx_j, within
+                        spec, dims, self_f, cand_f, i_is_role_i, within
                     )
                     for k in keys:
                         acc_ref[ki[k]] += terms[k]

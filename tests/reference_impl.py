@@ -1,15 +1,75 @@
-"""Independent brute-force O(N^2) transcription of the reference pair loop.
+"""Independent brute-force transcription of the reference pair loop.
 
-Plain numpy/f64, written directly from the Julia sources (ComputeInteractions!
-SPHCellList.jl:268-317 and the model modules): visits each unordered pair once
-in sorted order (i < j), applies equal-and-opposite contributions, with the
-reference's stencil-cell gating.  Used as the ground truth for the vectorized
-gather sweep.
+Plain numpy/f64, written directly from the Julia sources: the *cell-centric*
+visit order of NeighborLoop! (SPHCellList.jl:168-217) driving
+ComputeInteractions! (:268-317) and the model modules.
+
+The visit structure matters because the pair math is not fully role-symmetric
+(the density-diffusion volume factor is m0/rho_j with D_j = -D_i,
+SPHDensityDiffusionModels.jl:132-133).  The reference visits each unordered
+pair exactly once:
+
+* intra-cell: ``for i = start:end, j = (i+1):end`` — the j role is the
+  *higher* sorted index (:191-196);
+* cross-cell: for each half-stencil offset, ``for i in center, j in
+  neighbor`` (:199-210), where ConstructStencil (:37-43) keeps the *first*
+  half of CartesianIndices(-1:1, ...) — offsets that sort strictly before
+  the center cell in Julia's column-major CartesianIndex order.  The j role
+  is therefore the particle in the *earlier* cell, i.e. the *lower* sorted
+  index.
+
+Cells are visited in Julia CartesianIndex order (lexicographic on the
+reversed coordinate tuple); within a cell, particles are taken in the order
+of the input arrays (the framework feeds cell-sorted arrays, matching the
+reference's stable sort-by-cell).  Used as the ground truth for the
+vectorized gather sweep; never imports framework code.
 """
 
 from __future__ import annotations
 
+from collections import defaultdict
+
 import numpy as np
+
+
+def half_stencil(dims):
+    """First half of CartesianIndices(ntuple(_->-1:1, d)) in Julia
+    column-major enumeration order (first axis fastest) — reference
+    ConstructStencil, SPHCellList.jl:37-43."""
+    if dims == 2:
+        offs = [(i, j) for j in (-1, 0, 1) for i in (-1, 0, 1)]
+    elif dims == 3:
+        offs = [
+            (i, j, k)
+            for k in (-1, 0, 1)
+            for j in (-1, 0, 1)
+            for i in (-1, 0, 1)
+        ]
+    else:
+        raise ValueError(dims)
+    return offs[: len(offs) // 2]
+
+
+def reference_pair_visit(cells, active):
+    """Yield (i, j) index pairs with the reference's role assignment
+    (NeighborLoop!, SPHCellList.jl:186-210)."""
+    cellmap = defaultdict(list)
+    for a in range(len(cells)):
+        if active[a]:
+            cellmap[tuple(int(c) for c in cells[a])].append(a)
+    stencil = half_stencil(cells.shape[1])
+    # Julia CartesianIndex isless: lexicographic on the reversed tuple.
+    for cell in sorted(cellmap, key=lambda t: t[::-1]):
+        idxs = cellmap[cell]
+        for a in range(len(idxs)):
+            for b in range(a + 1, len(idxs)):
+                yield idxs[a], idxs[b]
+        for off in stencil:
+            ncell = tuple(c + o for c, o in zip(cell, off))
+            nidxs = cellmap.get(ncell, ())
+            for i in idxs:
+                for j in nidxs:
+                    yield i, j
 
 
 def wendland_w(alpha_d, q):
@@ -75,18 +135,10 @@ def brute_force_sweep(
             return wendland_grad_w(aD, h, q, xij)
         return cubic_grad_w(aD, h, eta2, q, xij)
 
-    for i in range(n):
-        if not active[i]:
-            continue
-        for j in range(i + 1, n):
-            if not active[j]:
-                continue
-            if np.max(np.abs(cells[i] - cells[j])) > 1:
-                continue
-            xij = pos[i] - pos[j]
-            d2 = float(xij @ xij)
-            if d2 > H2:
-                continue
+    for i, j in reference_pair_visit(np.asarray(cells), active):
+        xij = pos[i] - pos[j]
+        d2 = float(xij @ xij)
+        if d2 <= H2:
             d = np.sqrt(d2)
             q = min(max(d * h_inv, 0.0), 2.0)
             grad_w = gW(q, xij)

@@ -36,8 +36,8 @@ def test_list_sweep_matches_stencil_sweep(dims):
         kern, grid, 192, K=256, block_size=64, particles=p, cell_start=cell_start
     )
     assert int(max_count) <= 256
-    out = pair_sweep_list(spec, nbr, 64, p, p.position, p.density, p.pressure,
-                          p.velocity)
+    out = pair_sweep_list(spec, grid, nbr, 64, p, p.position, p.density,
+                          p.pressure, p.velocity)
     for field in ("drhodt", "acceleration", "kernel_w", "kernel_grad", "grad_c", "div_r"):
         a = np.asarray(getattr(ref, field))
         b = np.asarray(getattr(out, field))
