@@ -66,14 +66,25 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
     if resume_path:
         sim.state, start_counter = load_checkpoint(resume_path, sim.state)
 
-    logger = SimulationLogger(meta.save_location, append=bool(resume_path))
-    logger.initialize(meta, const, kern, viscosity.value, diffusion.value,
-                      geoms, sim.n_live)
-    if resume_path:
-        logger.logger.info(
-            f"resuming from {resume_path} at output counter {start_counter} "
-            f"(t = {float(sim.state.total_time):.5f} s)"
-        )
+    # LogMode axis (reference SimulationMetaDataConfiguration.jl:12-33):
+    # NONE disables the log file entirely - zero logger work, like the
+    # reference's no-op dispatch on NoLog.
+    from sphexample_tpu.config import LogMode
+
+    log_on = meta.log is LogMode.STORE
+    logger = (
+        SimulationLogger(meta.save_location, append=bool(resume_path))
+        if log_on
+        else None
+    )
+    if log_on:
+        logger.initialize(meta, const, kern, viscosity.value, diffusion.value,
+                          geoms, sim.n_live)
+        if resume_path:
+            logger.logger.info(
+                f"resuming from {resume_path} at output counter {start_counter} "
+                f"(t = {float(sim.state.total_time):.5f} s)"
+            )
     out = OutputManager(meta, kern, sim.cfg.grid, sim.n_live,
                         resume_counter=start_counter if resume_path else None)
 
@@ -88,7 +99,8 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
 
     def log(info):
         timesteps.append(info["dt"])
-        logger.log_step(info, meta.simulation_time)
+        if log_on:
+            logger.log_step(info, meta.simulation_time)
 
     sim = run_simulation(
         sim,
@@ -98,9 +110,11 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
         start_counter=start_counter,
     )
     out.close()
-    if sim.hourglass is not None:
-        logger.logger.info(sim.hourglass.report())
-    logger.log_final(sim.state, timesteps)
+    if log_on:
+        if sim.hourglass is not None:
+            logger.logger.info(sim.hourglass.report())
+        logger.log_final(sim.state, timesteps)
     write_paraview_state(meta)
-    logger.close()
+    if log_on:
+        logger.close()
     return sim

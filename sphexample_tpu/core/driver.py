@@ -266,6 +266,35 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
     return new_sim, prev_state
 
 
+def _default_progress(meta: SimulationMetaData, t_wall0: float):
+    """In-interval progress line (the reference's ProgressMeter spinner,
+    SPHCellList.jl:870-907): fires once per device chunk, rate-limited, and
+    only when stderr is a terminal."""
+    import sys
+
+    if not sys.stderr.isatty():
+        return None
+    last = [0.0]
+
+    def progress(state):
+        now = time.perf_counter()
+        if now - last[0] < 2.0:
+            return
+        last[0] = now
+        tt = float(state.total_time)
+        frac = min(tt / meta.simulation_time, 1.0) if meta.simulation_time else 0.0
+        wall = now - t_wall0
+        eta = wall * (1.0 - frac) / frac if frac > 1e-9 else float("nan")
+        sys.stderr.write(
+            f"\r  iter {int(state.iteration):>8}  t={tt:.4f}/"
+            f"{meta.simulation_time:g}s  dt={float(state.current_dt):.2e}  "
+            f"wall {wall:6.0f}s  eta {eta:6.0f}s "
+        )
+        sys.stderr.flush()
+
+    return progress
+
+
 def run_simulation(
     sim: Simulation,
     save_callback: Optional[Callable[[int, SimulationState], None]] = None,
@@ -273,6 +302,7 @@ def run_simulation(
     max_intervals: Optional[int] = None,
     auto_retune: bool = True,
     start_counter: int = 1,
+    progress_callback: Optional[Callable] = None,
 ) -> Simulation:
     """Outer host loop over output intervals (reference SPHCellList.jl:881-929).
 
@@ -297,6 +327,8 @@ def run_simulation(
     hourglass = HourGlass()
     sim.hourglass = hourglass
     t_wall0 = time.perf_counter()
+    if progress_callback is None:
+        progress_callback = _default_progress(meta, t_wall0)
     intervals = 0
     while True:
         t_out = meta.output_time_for(counter)
@@ -304,7 +336,8 @@ def run_simulation(
         prev_state = state
         with hourglass.section("00 SimulationLoop"):
             state = sim.interval_fn(
-                state, jnp.asarray(t_out, dtype=state.total_time.dtype)
+                state, jnp.asarray(t_out, dtype=state.total_time.dtype),
+                progress=progress_callback,
             )
             float(state.total_time)  # completion barrier
 

@@ -285,7 +285,10 @@ def make_interval_fn(cfg: StepConfig):
         )
         return final, dx_out
 
-    def interval(state: SimulationState, t_out) -> SimulationState:
+    def interval(state: SimulationState, t_out, progress=None) -> SimulationState:
+        """``progress(state)`` fires after every device chunk - the host-side
+        analog of the reference's in-interval ProgressMeter spinner
+        (SPHCellList.jl:870-907)."""
         dx = jnp.asarray(1.0 + cfg.spec.kernel.h, dtype=state.total_time.dtype)
         while True:
             it_before = int(state.iteration)
@@ -293,6 +296,8 @@ def make_interval_fn(cfg: StepConfig):
             _check_interval_progress(state, t_out, it_before)
             if float(state.total_time) > float(t_out):
                 return state
+            if progress is not None:
+                progress(state)
 
     return interval
 

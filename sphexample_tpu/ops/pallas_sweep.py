@@ -97,58 +97,86 @@ def _w_value(kern, q):
 
 
 def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
-    """All per-pair physics, written fully component-wise on [MPC, CSEG]
-    tiles - no stacked [..., D] arrays, no fancy indexing, so every op is a
-    plain VPU elementwise op that Mosaic lowers directly.
+    """All per-pair physics on [R, L] tiles (sublane = self particle, lane =
+    candidate) - plain VPU elementwise ops that Mosaic lowers directly.
+
+    Written to minimize *full-tile* op count:
+
+    * self-only quantities stay [R, 1] columns and candidate-only quantities
+      stay [1, L] rows (a fraction of the vreg cost of a full tile);
+    * grad_W = g * x_ij is never materialized on the default path - every
+      dot product with grad_W collapses to a scalar: x_ij.gw = g*d2,
+      v_ij.gw = g*(v.x) - so momentum/viscosity/diffusion reduce to one
+      coefficient times x_ij (gw is built only for SPS / kernel-output /
+      shifting modes);
+    * reciprocals of per-particle densities are rank-1 ([1,L] / [R,1]), not
+      full-tile divisions.
 
     The physics mirrors ops/interactions.py exactly (which in turn mirrors
-    ComputeInteractions!, reference SPHCellList.jl:268-317); the parity test
-    vs the XLA path guards equivalence of this re-expression.
+    ComputeInteractions!, reference SPHCellList.jl:268-317); the interpret
+    parity test vs the XLA path guards equivalence of this re-expression.
     """
-    from ..config import DensityDiffusionModel, ViscosityModel
+    from ..config import DensityDiffusionModel, KernelFamily, ViscosityModel
 
     kern = spec.kernel
     c = spec.constants
 
-    pos_i = self_f[:dims]
+    pos_i = self_f[:dims]                                       # [R, 1] each
     vel_i = self_f[dims : 2 * dims]
     rho_i, p_i, ml_i = self_f[2 * dims], self_f[2 * dims + 1], self_f[2 * dims + 2]
-    pos_j = cand_f[:dims]
+    pos_j = cand_f[:dims]                                       # [1, L] each
     vel_j = cand_f[dims : 2 * dims]
     rho_j, p_j, ml_j = cand_f[2 * dims], cand_f[2 * dims + 1], cand_f[2 * dims + 2]
+
+    want_kernel = spec.kernel_output is KernelOutputMode.STORE
+    want_shift = spec.shifting is ShiftingMode.PLANAR
+    vm = spec.viscosity
+    need_gw = want_kernel or want_shift or vm is ViscosityModel.LAMINAR_SPS
 
     xij = [pos_i[d] - pos_j[d] for d in range(dims)]
     vij = [vel_i[d] - vel_j[d] for d in range(dims)]
     d2 = sum(x * x for x in xij)
     within = within & (d2 <= kern.H2)
-    # guard masked lanes (padding rows carry rho == 0)
-    rho_j = jnp.where(within, rho_j, jnp.ones_like(rho_j))
+
+    # Reciprocal guards at rank 1: padded HBM slots carry rho == 0 (their
+    # lanes/rows are masked, but the division must stay finite so that
+    # mask * value is 0, not NaN).  Real densities are always ~rho0 > 0.
+    rho_j = jnp.where(rho_j > 0.0, rho_j, jnp.ones_like(rho_j))    # [1, L]
+    rcp_rho_j = 1.0 / rho_j
+    rho_i = jnp.where(rho_i > 0.0, rho_i, jnp.ones_like(rho_i))    # [R, 1]
+    rcp_rho_i = 1.0 / rho_i
 
     d = jnp.sqrt(d2)
     q = jnp.clip(d * kern.h_inv, 0.0, 2.0)
     g = _grad_w_factor(kern, q, d)
-    gw = [g * x for x in xij]                      # grad_W components
+    # scalar identities: x_ij . grad_W = g * d2;  v_ij . grad_W = g * (v.x)
+    v_dot_x = sum(v * x for v, x in zip(vij, xij))
+    g_d2 = g * d2
+    g_vx = g * v_dot_x
+    gw = [g * x for x in xij] if need_gw else None
+    # shared denominator of diffusion psi and artificial-viscosity mu
+    d2_eta = d2 + kern.eta2
+    inv_d2 = 1.0 / d2_eta
 
-    # continuity: sym = dot(-v_ij, grad_W)
-    sym = -sum(v * w for v, w in zip(vij, gw))
-    drho = -rho_i * (c.m0 / rho_j) * sym
+    # continuity (reference :289-291): drho+ = -rho_i (m0/rho_j) (-v_ij.gw)
+    drho = (c.m0 * rho_i) * rcp_rho_j * g_vx
 
-    # density diffusion (reference SPHDensityDiffusionModels.jl)
+    # density diffusion (reference SPHDensityDiffusionModels.jl) with the
+    # cell-centric role quirk (see models/density_diffusion.py)
     diff = spec.diffusion
     if diff is not DensityDiffusionModel.ZERO:
-        inv_d2 = 1.0 / (d2 + kern.eta2)
-        rho_ji = rho_j - rho_i
-        if diff is DensityDiffusionModel.ZERO_GRAVITY_LINEAR:
-            psi_dot_gw = 2.0 * rho_ji * inv_d2 * (-sum(x * w for x, w in zip(xij, gw)))
-            ml_gate = 1.0
-        else:
-            P_h = c.rho0 * (-c.g) * (-xij[-1])     # last-axis hydrostatic term
+        diff_n = rho_j - rho_i                                   # rho_ji
+        ml_gate = None
+        if diff is not DensityDiffusionModel.ZERO_GRAVITY_LINEAR:
             if diff is DensityDiffusionModel.LINEAR:
-                rho_h = P_h * ((1.0 / (c.Cb * c.gamma)) * c.rho0)
-            else:  # COMPLEX: inverse hydrostatic EOS, 7th root
-                # Not odd in P: the j-role endpoint evaluates the i-role
-                # orientation (-P_h) and flips the sign (see
-                # models/density_diffusion.py).
+                # rho_h = [rho0 (-g)(-x_z)] * rho0/(Cb gamma), folded
+                C_lin = c.rho0 * (-c.g) * (-1.0) * ((1.0 / (c.Cb * c.gamma)) * c.rho0)
+                rho_h = C_lin * xij[-1]
+            else:  # COMPLEX: inverse hydrostatic EOS, 7th root; not odd in
+                # P, so the j-role endpoint evaluates the i-role orientation
+                # (-P_h) and flips the sign.
+                P_h = c.rho0 * (-c.g) * (-xij[-1])
+
                 def _inv_eos(P):
                     arg = 1.0 + P * c.Cb_inv
                     root = jnp.sign(arg) * jnp.exp(
@@ -156,21 +184,20 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
                     )
                     return c.rho0 * (root - 1.0)
 
-                rho_h = jnp.where(
-                    i_is_role_i, _inv_eos(P_h), -_inv_eos(-P_h)
-                )
-            psi_dot_gw = (
-                2.0 * (rho_ji - rho_h) * inv_d2 * (-sum(x * w for x, w in zip(xij, gw)))
-            )
+                rho_h = jnp.where(i_is_role_i, _inv_eos(P_h), -_inv_eos(-P_h))
+            diff_n = diff_n - rho_h
             ml_gate = ml_i * ml_j
-        # cell-centric role quirk: m0 / rho_(j-role particle)
-        vol = jnp.where(i_is_role_i, c.m0 / rho_j, c.m0 / rho_i)
-        drho = drho + c.delta_sph * kern.h * c.c0 * vol * psi_dot_gw * ml_gate
+        # D = delta h c0 (m0/rho_jrole) * [2 (rho_ji - rho_h)(-x).gw / d2eta]
+        #   = C_d * vol * diff_n * inv_d2 * g_d2,  C_d = -2 delta h c0 m0
+        C_d = -2.0 * c.delta_sph * kern.h * c.c0 * c.m0
+        vol = jnp.where(i_is_role_i, C_d * rcp_rho_j, C_d * rcp_rho_i)
+        D = vol * diff_n * (inv_d2 * g_d2)
+        if ml_gate is not None:
+            D = D * ml_gate
+        drho = drho + D
 
-    # momentum + tensile correction
-    pfac = (p_i + p_j) / (rho_i * rho_j)
-    from ..config import KernelFamily
-
+    # momentum (reference :299-303): dvdt = -m0 (pfac + f_ab) g * x_ij
+    A_p = (-c.m0) * ((p_i + p_j) * (rcp_rho_i * rcp_rho_j))
     if kern.family is KernelFamily.CUBIC_SPLINE:
         w_q = _w_value(kern, q)
         # static python evaluation of W at q = dx (reference's raw-distance
@@ -182,39 +209,36 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
             w_dx = kern.alpha_d * 0.25 * (2.0 - q0) ** 3
         else:
             w_dx = 0.0
-        ratio = w_q / w_dx
-        f_ab = kern.cubic_eps * ((p_i / (rho_i * rho_i)) + (p_j / (rho_j * rho_j))) * ratio**4
-    else:
-        f_ab = 0.0
-    mom = -c.m0 * (pfac + f_ab)
-    dvdt = [mom * w for w in gw]
+        ratio = w_q * (1.0 / w_dx)
+        f_ab = (
+            (p_i * (rcp_rho_i * rcp_rho_i)) + (p_j * (rcp_rho_j * rcp_rho_j))
+        ) * (kern.cubic_eps * (ratio * ratio) * (ratio * ratio))
+        A_p = A_p + (-c.m0) * f_ab
 
     # viscosity (reference SPHViscosityModels.jl)
-    vm = spec.viscosity
     if vm is ViscosityModel.ARTIFICIAL:
-        v_dot_x = sum(v * x for v, x in zip(vij, xij))
-        rho_bar = 0.5 * (rho_i + rho_j)
-        mu = kern.h * v_dot_x / (d2 + kern.eta2)
-        pi_fac = jnp.where(
-            v_dot_x < 0,
-            -c.m0 * (-c.alpha * c.c0 * mu) / rho_bar,
-            jnp.zeros_like(mu),
+        # pi = m0 alpha c0 mu / rho_bar, mu = h (v.x)/d2eta, only where v.x<0
+        rcp_rsum = 1.0 / (rho_i + rho_j)
+        pi_fac = (
+            (2.0 * c.m0 * c.alpha * c.c0 * kern.h) * v_dot_x * inv_d2 * rcp_rsum
         )
-        dvdt = [a + pi_fac * w for a, w in zip(dvdt, gw)]
+        pi_fac = jnp.where(v_dot_x < 0, pi_fac, jnp.zeros_like(pi_fac))
+        A = (A_p + pi_fac) * g
+        dvdt = [A * x for x in xij]
     elif vm in (ViscosityModel.LAMINAR, ViscosityModel.LAMINAR_SPS):
-        x_dot_gw = sum(x * w for x, w in zip(xij, gw))
-        term = (4.0 * c.m0 * c.nu0 * x_dot_gw) / ((rho_i + rho_j) + (d2 + kern.eta2))
-        dvdt = [a + term * v for a, v in zip(dvdt, vij)]
+        # term = 4 m0 nu0 (x.gw) / ((rho_i+rho_j) + d2eta)  [DSPH form quirk]
+        term = (4.0 * c.m0 * c.nu0) * g_d2 / ((rho_i + rho_j) + d2_eta)
+        A = A_p * g
+        dvdt = [A * x + term * v for x, v in zip(xij, vij)]
         if vm is ViscosityModel.LAMINAR_SPS:
-            # S_a[r][cdim] = (m0/rho_b) * dv[r] * gw[cdim]; tau built per the
+            # S_a[r][cd] = (m0/rho_b) * dv[r] * gw[cd]; tau built per the
             # role-invariant forms (see models/viscosity.py)
             cs2_dx2 = (c.smagorinsky_constant * c.dx) ** 2
             blin_dx2 = c.blin_constant * c.dx * c.dx
             dv = [-v for v in vij]  # v_j - v_i
 
-            def tau_dot_gw(rho_scale, rho_self):
-                s_fac = c.m0 / rho_scale
-                # S[r][cd] = s_fac * dv[r] * gw[cd]
+            def tau_dot_gw(rcp_rho_scale, rho_self):
+                s_fac = c.m0 * rcp_rho_scale
                 sum_dv2 = sum(a * a for a in dv)
                 sum_gw2 = sum(w * w for w in gw)
                 norm_S2 = 2.0 * (s_fac * s_fac) * sum_dv2 * sum_gw2
@@ -224,30 +248,33 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
                 iso = -(trace_S / 3.0) * (2.0 * nu_t * rho_self) - (
                     (2.0 / 3.0) * rho_self * blin_dx2 * norm_S2
                 )
-                # (tau . gw)[r] = 2 nu_t rho_self * s_fac * dv[r] * (gw.gw)
-                #                + iso * gw[r]
                 dev_fac = 2.0 * nu_t * rho_self * s_fac
                 return [dev_fac * dv[r] * sum_gw2 + iso * gw[r] for r in range(dims)]
 
-            t_i = tau_dot_gw(rho_j, rho_i)
-            t_j = tau_dot_gw(rho_i, rho_j)
-            fac = c.m0 / (rho_i * rho_j)
+            t_i = tau_dot_gw(rcp_rho_j, rho_i)
+            t_j = tau_dot_gw(rcp_rho_i, rho_j)
+            fac = c.m0 * (rcp_rho_i * rcp_rho_j)
             dvdt = [a + fac * (ti + tj) for a, ti, tj in zip(dvdt, t_i, t_j)]
+    else:
+        A = A_p * g
+        dvdt = [A * x for x in xij]
 
     mf = within.astype(drho.dtype)
     out = {"drho": drho * mf}
     for r in range(dims):
         out[f"dvdt{r}"] = dvdt[r] * mf
-    if spec.kernel_output is KernelOutputMode.STORE:
+    if want_kernel:
         w = _w_value(kern, q)
         out["w"] = w * mf
         for r in range(dims):
             out[f"gw{r}"] = gw[r] * mf
-    if spec.shifting is ShiftingMode.PLANAR:
+    if want_shift:
+        # add_shifting_terms! (reference :73-88): grad_C uses the self
+        # density, div_r the neighbor's; -x_ij.gw = -g*d2.
         mlcond = ml_i * ml_j
         for r in range(dims):
-            out[f"gc{r}"] = (c.m0 / rho_i) * gw[r] * mf
-        out["dr"] = (c.m0 / rho_j) * (-sum(x * w for x, w in zip(xij, gw))) * mlcond * mf
+            out[f"gc{r}"] = (c.m0 * rcp_rho_i) * gw[r] * mf
+        out["dr"] = (c.m0 * rcp_rho_j) * (-g_d2) * mlcond * mf
     return out
 
 
@@ -361,13 +388,13 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
 
             cp_self.wait()
 
-            # the compute tile is [R, cseg]: the DMA window's extra 128-lane
-            # alignment slack is rolled away before the pair math, so the
-            # VPU never computes on alignment padding.
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, cseg), 0)
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, cseg), 1)
-            idx_i = s0 + row_ids             # global sorted self index
-            self_valid = row_ids < cnt
+            # self quantities live as [R, 1] columns (rank-1: a fraction of
+            # the full-tile vreg cost)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+            idx_i = s0 + row_ids             # [R, 1] global sorted self index
+            self_valid = row_ids < cnt       # [R, 1]
+            cell_end = s0_cell + cnt_cell
+            want_kernel_out = spec.kernel_output is KernelOutputMode.STORE
 
             def self_field(f):
                 col = jnp.transpose(self_buf[f : f + 1, :])    # [SELF_WIN, 1]
@@ -382,6 +409,9 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
 
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            NL = cseg // 128
+
             for s in range(S):
                 @pl.when(seg_re[s] > seg_rs[s])  # skip empty segments
                 def _segment():
@@ -391,28 +421,44 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                     # positive modular shift (see self_field note): dynamic
                     # negative lane rolls are mis-compiled by an extra -128.
                     rolled = pltpu.roll(cand_buf[s], shift=cwin - rem_s, axis=1)
-                    idx_j = seg_rs[s] + lane_ids
-                    within = (
-                        self_valid
-                        & (idx_j < seg_re[s])
-                        & (idx_j != idx_i)
-                    )
-                    # diffusion role flag (cell-centric quirk): intra-cell
-                    # pairs give the i role to the lower sorted index,
-                    # cross-cell pairs to the particle in the later cell
-                    # (== higher sorted index, arrays are key-sorted).
-                    # NB: composed with logical ops, not jnp.where - Mosaic
-                    # cannot lower select on boolean vectors (i8->i1 trunci).
-                    same_cell = (idx_j >= s0_cell) & (idx_j < s0_cell + cnt_cell)
-                    i_is_role_i = (same_cell & (idx_i < idx_j)) | (
-                        (~same_cell) & (idx_i > idx_j)
-                    )
-                    cand_f = [rolled[f : f + 1, 0:cseg] for f in range(nfields)]
-                    terms = _pair_math(
-                        spec, dims, self_f, cand_f, i_is_role_i, within
-                    )
-                    for k in keys:
-                        acc_ref[ki[k]] += terms[k]
+                    seg_len = seg_re[s] - seg_rs[s]
+
+                    # the candidate axis is processed in predicated 128-lane
+                    # chunks: segments rarely fill the static cseg capacity
+                    # (avg occupancy ~ half), so trailing chunks skip their
+                    # VPU work entirely instead of computing masked lanes.
+                    for kc in range(NL):
+                        @pl.when(seg_len > kc * 128)
+                        def _chunk():
+                            lo = kc * 128
+                            idx_j = (seg_rs[s] + lo) + lane_ids    # [1, 128]
+                            lane_valid = idx_j < seg_re[s]          # [1, 128]
+                            within = self_valid & lane_valid
+                            if want_kernel_out:
+                                # self-pair exclusion: every pair term
+                                # vanishes at d2 == 0 except the kernel sum
+                                # W(0), so the index test is only needed in
+                                # kernel-output mode.
+                                within = within & (idx_j != idx_i)
+                            # diffusion role flag (cell-centric quirk):
+                            # intra-cell pairs give the i role to the lower
+                            # sorted index, cross-cell pairs to the particle
+                            # in the later cell (== higher sorted index,
+                            # arrays are key-sorted).  same_cell is lane-only;
+                            # composed with logical ops, not jnp.where -
+                            # Mosaic cannot lower select on boolean vectors
+                            # (i8->i1 trunci).
+                            same_cell = (idx_j >= s0_cell) & (idx_j < cell_end)
+                            i_is_role_i = ~(same_cell ^ (idx_i < idx_j))
+                            cand_f = [
+                                rolled[f : f + 1, lo : lo + 128]
+                                for f in range(nfields)
+                            ]
+                            terms = _pair_math(
+                                spec, dims, self_f, cand_f, i_is_role_i, within
+                            )
+                            for k in keys:
+                                acc_ref[ki[k], :, lo : lo + 128] += terms[k]
 
             # lane-reduce and store per-(cell, chunk) blocks
             def rsum(k):
@@ -470,6 +516,8 @@ def pallas_pair_sweep(
         )
     if mpc % 8 != 0:
         raise ValueError(f"mpc={mpc} must be a multiple of 8")
+    if cseg % 128 != 0:
+        raise ValueError(f"cseg={cseg} must be a multiple of 128")
     S = 3 ** (dims - 1)
     nfields = 2 * dims + 3
     nfields_pad = _round_up(nfields, 8)

@@ -113,7 +113,7 @@ def make_sharded_interval_fn(cfg: StepConfig, mesh: Mesh, axis: str = AXIS):
         check_vma=False,
     ))
 
-    def interval(state: SimulationState, t_out) -> SimulationState:
+    def interval(state: SimulationState, t_out, progress=None) -> SimulationState:
         from ..core.step import _check_interval_progress
 
         dx = jnp.asarray(1.0 + cfg.spec.kernel.h, dtype=state.total_time.dtype)
@@ -123,6 +123,8 @@ def make_sharded_interval_fn(cfg: StepConfig, mesh: Mesh, axis: str = AXIS):
             _check_interval_progress(state, t_out, it_before)
             if float(state.total_time) > float(t_out):
                 return state
+            if progress is not None:
+                progress(state)
 
     return interval, cfg
 

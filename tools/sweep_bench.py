@@ -1,0 +1,267 @@
+"""Component-level timing of the SPH step on the attached TPU.
+
+Measures, on the headline dam-break state (after one rebuild):
+
+  step        full sph_step (fixed-steps loop)                [particle-steps/s]
+  nostep      sph_step with both sweeps stubbed to zeros      [everything else]
+  sweep       one pallas_pair_sweep in a fori_loop            [the hot kernel]
+  sweepstub   same, _pair_math stubbed to one mul             [DMA + overhead]
+  xsweep      the XLA gather sweep in a fori_loop             [comparison]
+
+Usage: python tools/sweep_bench.py [--dx 0.0085] [--reps 30] [--which all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dx", type=float, default=0.0085)
+    ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--which", default="step,sweep,sweepstub,nostep")
+    args = ap.parse_args()
+    which = set(args.which.split(","))
+
+    import jax
+    import jax.numpy as jnp
+
+    from sphexample_tpu import (DensityDiffusionModel, KernelFamily,
+                                SimulationConstants, SimulationMetaData,
+                                ViscosityModel, assemble_simulation,
+                                make_kernel)
+    from sphexample_tpu.core import step as step_mod
+    from sphexample_tpu.core.step import make_fixed_steps_fn
+    from sphexample_tpu.io.casegen import dam_break_3d
+    from sphexample_tpu.ops import cell_list as cl
+    from sphexample_tpu.ops import pallas_sweep as ps
+
+    dx = args.dx
+    pos, dens, ptype, grp, idp = dam_break_3d(dx)
+    const = SimulationConstants(dx=dx, c0=33.14, alpha=0.1, m0=1000 * dx**3, cfl=0.2)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 3, h=float(np.sqrt(3 * dx**2)))
+    meta = SimulationMetaData(
+        simulation_name="SweepBench", save_location="/tmp/sweepbench", dims=3,
+        use_pallas=True,
+    )
+    sim = assemble_simulation(pos, dens, ptype, grp, idp, meta, const, kern,
+                              ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR)
+    cfg = sim.cfg
+    n = sim.n_live
+    reps = args.reps
+    p = sim.state.particles
+    p2, cs, _ = jax.jit(lambda pp: cl.rebuild(pp, kern.H_inv, cfg.grid))(p)
+
+    def sync(x):
+        return float(jax.tree.leaves(x)[0].reshape(-1)[0])
+
+    def timeit(name, fn, *a):
+        out = fn(*a); sync(out)          # compile + warm
+        out = fn(*a); sync(out)
+        t0 = time.perf_counter()
+        out = fn(*a); sync(out)
+        dt = time.perf_counter() - t0
+        print(f"{name:>10}: {dt*1e3/reps:8.3f} ms/iter  "
+              f"({n*reps/dt:.3e} particle-iters/s)")
+        return dt / reps
+
+    print(f"# n={n} mpc={cfg.mpc} cseg={cfg.cseg} maxc={cfg.maxc} reps={reps}",
+          file=sys.stderr)
+
+    if "step" in which:
+        run = make_fixed_steps_fn(cfg, reps)
+        timeit("step", run, sim.state)
+
+    if "nostep" in which:
+        real_sweep = step_mod._sweep
+
+        def zero_sweep(cfg_, pp, cs_, pos_, dens_, pres_, vel_, idx_base):
+            from sphexample_tpu.ops.interactions import SweepOut
+            z = jnp.zeros_like(dens_)
+            return SweepOut(drhodt=z, acceleration=jnp.zeros_like(pos_),
+                            kernel_w=None, kernel_grad=None, grad_c=None,
+                            div_r=None)
+
+        step_mod._sweep = zero_sweep
+        try:
+            run0 = make_fixed_steps_fn(cfg, reps)
+            timeit("nostep", run0, sim.state)
+        finally:
+            step_mod._sweep = real_sweep
+
+    def sweep_loop():
+        # pallas_pair_sweep is itself jitted: identical static args would hit
+        # the trace cache and silently reuse the previously-built kernel,
+        # defeating the monkeypatched probes.
+        ps.pallas_pair_sweep.clear_cache()
+
+        @jax.jit
+        def run(dens0):
+            def body(i, dens_):
+                out = ps.pallas_pair_sweep(
+                    cfg.spec, cfg.grid, cfg.mpc, cfg.cseg, cfg.maxc,
+                    p2, cs, p2.position, dens_, p2.pressure, p2.velocity)
+                return dens_ + 0.0 * out.drhodt + 0.0 * out.acceleration[:, 0]
+            return jax.lax.fori_loop(0, reps, body, dens0)
+        return run
+
+    if "sweep" in which:
+        timeit("sweep", sweep_loop(), p2.density)
+
+    if "sweepstub" in which:
+        real = ps._pair_math
+
+        def stub(spec, dims, self_f, cand_f, i_is_role_i, within):
+            d = self_f[0] - cand_f[0]
+            mf = within.astype(d.dtype)
+            out = {"drho": d * mf}
+            for r in range(dims):
+                out[f"dvdt{r}"] = d * mf
+            return out
+
+        ps._pair_math = stub
+        try:
+            timeit("sweepstub", sweep_loop(), p2.density)
+        finally:
+            ps._pair_math = real
+
+    def probe_kernel(mode):
+        """Replacement _make_kernel measuring subsets of the real kernel:
+        'gridzero' = scalar prologue + zero outputs (grid + wrapper cost);
+        'dma'      = + self/segment DMAs and waits (adds DMA cost);
+        'dmaroll'  = + rolls and self transposes (adds shuffle cost)."""
+        import jax as _jax
+        import jax.numpy as _jnp
+        from jax.experimental import pallas as _pl
+        from jax.experimental.pallas import tpu as _pltpu
+        from sphexample_tpu.ops.cell_list import stencil_rows as _srows
+        from sphexample_tpu.ops.pallas_sweep import SELF_WIN as _SW
+
+        def factory(spec, grid, dims, nfields, mpc, cseg, S, n, R):
+            ncells = grid.ncells
+            gshape = grid.shape
+            gstrides = grid.strides
+            rows_np = _srows(dims)
+
+            def kernel(occ_keys_ref, cell_start_ref, prog_slot_ref,
+                       prog_base_ref, packed_hbm, drho_out, acc_out, *opt):
+                self_buf, cand_buf, acc_ref, sem = opt[0:4]
+                b = _pl.program_id(0)
+                slot = prog_slot_ref[b]
+                key = occ_keys_ref[slot]
+                is_live = key < ncells
+                keyc = _jnp.minimum(key, ncells - 1)
+                chunk = b - prog_base_ref[slot]
+                s0_cell = cell_start_ref[keyc]
+                cnt_cell = _jnp.where(
+                    is_live, cell_start_ref[keyc + 1] - s0_cell, 0)
+                s0 = s0_cell + chunk * R
+                cnt = _jnp.clip(cnt_cell - chunk * R, 0, R)
+                is_live = is_live & (cnt > 0)
+
+                drho_out[...] = _jnp.zeros_like(drho_out)
+                acc_out[...] = _jnp.zeros_like(acc_out)
+                if mode == "gridzero":
+                    return
+
+                rel = []
+                rem_k = keyc
+                for d_i in range(dims):
+                    rel.append(rem_k % gshape[d_i])
+                    rem_k = rem_k // gshape[d_i]
+                x_lo = _jnp.clip(rel[0] - 1, 0, gshape[0] - 1)
+                x_hi = _jnp.clip(rel[0] + 1, 0, gshape[0] - 1)
+                cwin = cseg + 128
+
+                @_pl.when(is_live)
+                def _body():
+                    s0_al = _pl.multiple_of(_jnp.maximum(
+                        _jnp.minimum((s0 // 128) * 128, n - _SW), 0), 128)
+                    rem = s0 - s0_al
+                    cp = _pltpu.make_async_copy(
+                        packed_hbm.at[:, _pl.ds(s0_al, _SW)], self_buf,
+                        sem.at[0])
+                    cp.start()
+                    seg_rs, seg_re, seg_al = [], [], []
+                    for s in range(S):
+                        deltas = rows_np[s]
+                        row_ok = True
+                        row_base = _jnp.zeros_like(keyc)
+                        for d_i in range(1, dims):
+                            rc = rel[d_i] + int(deltas[d_i - 1])
+                            row_ok = row_ok & (rc >= 0) & (rc < gshape[d_i])
+                            row_base = row_base + rc * gstrides[d_i]
+                        klo = _jnp.where(row_ok, row_base + x_lo, 0)
+                        khi = _jnp.where(row_ok, row_base + x_hi, -1)
+                        rs = _jnp.where(row_ok, cell_start_ref[klo], 0)
+                        re = _jnp.where(row_ok, cell_start_ref[khi + 1], 0)
+                        seg_rs.append(rs)
+                        seg_re.append(re)
+                        seg_al.append(_pl.multiple_of(_jnp.maximum(
+                            _jnp.minimum((rs // 128) * 128, n - cwin), 0),
+                            128))
+                    for s in range(S):
+                        @_pl.when(seg_re[s] > seg_rs[s])
+                        def _():
+                            _pltpu.make_async_copy(
+                                packed_hbm.at[:, _pl.ds(seg_al[s], cwin)],
+                                cand_buf.at[s], sem.at[1 + s]).start()
+                    cp.wait()
+                    if mode == "dmaroll":
+                        cols = [
+                            _pltpu.roll(
+                                _jnp.transpose(self_buf[f:f + 1, :]),
+                                shift=_SW - rem, axis=0)[0:R, :]
+                            for f in range(nfields)
+                        ]
+                        acc_ref[0, :, 0:128] += sum(
+                            c for c in cols) * _jnp.ones((R, 128),
+                                                         _jnp.float32)
+                    for s in range(S):
+                        @_pl.when(seg_re[s] > seg_rs[s])
+                        def _w():
+                            _pltpu.make_async_copy(
+                                packed_hbm.at[:, _pl.ds(seg_al[s], cwin)],
+                                cand_buf.at[s], sem.at[1 + s]).wait()
+                            if mode == "dmaroll":
+                                rem_s = seg_rs[s] - seg_al[s]
+                                rolled = _pltpu.roll(
+                                    cand_buf[s], shift=cwin - rem_s, axis=1)
+                                acc_ref[0, :, :] += rolled[0:1, 0:cseg]
+
+            return kernel
+
+        return factory
+
+    for mode in ("gridzero", "dma", "dmaroll"):
+        if mode in which:
+            real_mk = ps._make_kernel
+            ps._make_kernel = probe_kernel(mode)
+            try:
+                timeit(mode, sweep_loop(), p2.density)
+            finally:
+                ps._make_kernel = real_mk
+
+    if "xsweep" in which:
+        import dataclasses
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+
+        @jax.jit
+        def runx(dens0):
+            def body(i, dens_):
+                out = step_mod._sweep(cfg_x, p2, cs, p2.position, dens_,
+                                      p2.pressure, p2.velocity, 0)
+                return dens_ + 0.0 * out.drhodt
+            return jax.lax.fori_loop(0, reps, body, dens0)
+        timeit("xsweep", runx, p2.density)
+
+
+if __name__ == "__main__":
+    main()
