@@ -155,6 +155,17 @@ def assemble_simulation(
         ),
     )
 
+    if meta.use_pallas:
+        from ..ops.pallas_sweep import init_program_tables, prog_rows
+
+        tables = init_program_tables(
+            grid, cfg.maxc, prog_rows(cfg.mpc), particles.capacity
+        )
+    else:
+        from ..state import empty_pallas_tables
+
+        tables = empty_pallas_tables()
+
     zero = jnp.zeros((), dtype=dtype)
     state = SimulationState(
         particles=particles,
@@ -166,6 +177,7 @@ def assemble_simulation(
         max_segment=jnp.zeros((), dtype=jnp.int32),
         occupied_cells=jnp.zeros((), dtype=jnp.int32),
         position_half=jnp.zeros_like(particles.position),
+        pallas_tables=tables,
     )
     return Simulation(cfg=cfg, state=state, meta=meta, n_live=n)
 
@@ -243,6 +255,15 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
         new_cap = -(-new_cap // 128) * 128
         prev_state = pad_capacity(prev_state, new_cap)
         new_cfg = _dc.replace(cfg, mpc=mpc, cseg=cseg, maxc=max(maxc, cfg.maxc))
+        # the program tables are shaped by (maxc, mpc, capacity): re-init to
+        # the new shapes (the replayed interval's first step rebuilds them)
+        from ..ops.pallas_sweep import init_program_tables, prog_rows
+
+        prev_state = prev_state.replace(
+            pallas_tables=init_program_tables(
+                cfg.grid, new_cfg.maxc, prog_rows(new_cfg.mpc), new_cap
+            )
+        )
     else:
         mpc = int(occ * 1.25) + 2
         new_cfg = _dc.replace(cfg, cseg=3 * mpc)

@@ -63,7 +63,7 @@ class StepConfig:
 
 
 def _sweep(cfg: StepConfig, p, cell_start, position, density, pressure, velocity,
-           idx_base):
+           idx_base, tables=None):
     """Dispatch one neighbor sweep to the Pallas or XLA path."""
     if cfg.use_pallas and not cfg.ctx.is_sharded:
         from ..ops.pallas_sweep import pallas_pair_sweep
@@ -71,7 +71,7 @@ def _sweep(cfg: StepConfig, p, cell_start, position, density, pressure, velocity
         return pallas_pair_sweep(
             cfg.spec, cfg.grid, cfg.mpc, cfg.cseg, cfg.maxc,
             p, cell_start, position, density, pressure, velocity,
-            interpret=cfg.pallas_interpret,
+            tables=tables, interpret=cfg.pallas_interpret,
         )
     ctx = cfg.ctx
     return pair_sweep(
@@ -111,6 +111,8 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     dt2 = dt * 0.5
 
     # 02 - lazy rebuild when dx >= h
+    use_pallas_here = cfg.use_pallas and not ctx.is_sharded
+
     def do_rebuild(p_in):
         sorted_p, cell_start, occ = cl.rebuild(p_in, kern.H_inv, cfg.grid, ctx)
         base = ctx.rank() * sorted_p.capacity
@@ -119,13 +121,22 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
         seg = cl.max_row_segment(cell_start, cfg.grid)
         counts = cell_start[1 : cfg.grid.ncells + 1] - cell_start[: cfg.grid.ncells]
         ncc = jnp.sum(counts > 0).astype(jnp.int32)
-        return sorted_p, cell_start, occ, seg, ncc, jnp.zeros_like(dx_acc)
+        if use_pallas_here:
+            from ..ops.pallas_sweep import make_program_tables, prog_rows
+
+            tables = make_program_tables(
+                cell_start, cfg.grid, cfg.maxc, prog_rows(cfg.mpc),
+                sorted_p.capacity,
+            )
+        else:
+            tables = state.pallas_tables
+        return sorted_p, cell_start, occ, seg, ncc, jnp.zeros_like(dx_acc), tables
 
     def no_rebuild(p_in):
         return (p_in, state.cell_start, state.max_occupancy, state.max_segment,
-                state.occupied_cells, dx_acc)
+                state.occupied_cells, dx_acc, state.pallas_tables)
 
-    p, cell_start, occ, seg, ncc, dx_acc = jax.lax.cond(
+    p, cell_start, occ, seg, ncc, dx_acc, tables = jax.lax.cond(
         dx_acc >= kern.h, do_rebuild, no_rebuild, p
     )
     occ = jnp.maximum(occ, state.max_occupancy)
@@ -157,7 +168,7 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     # 05 - first neighbor sweep (predictor forces)
     with jax.named_scope("05_first_neighbor_sweep"):
         out1 = _sweep(cfg, p, cell_start, p.position, p.density, p.pressure,
-                  p.velocity, idx_base)
+                  p.velocity, idx_base, tables)
 
     # 06 - half step predictor (reference HalfTimeStep, :624-638)
     acc = _gravity_acc(cfg, p, out1.acceleration)
@@ -180,7 +191,7 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     # 08 - second neighbor sweep (corrector forces, on half-step fields)
     with jax.named_scope("08_second_neighbor_sweep"):
         out2 = _sweep(cfg, p, cell_start, pos_half, rho_half, p.pressure, vel_half,
-                  idx_base)
+                  idx_base, tables)
 
     # 09 - clamp density at boundaries (before the corrector, reference :794)
     density = eq.limit_density_at_boundary(p.density, c.rho0, p.motion_limiter)
@@ -227,6 +238,7 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
         max_segment=seg,
         occupied_cells=ncc,
         position_half=pos_half,
+        pallas_tables=tables,
     )
     return new_state, dx_acc
 

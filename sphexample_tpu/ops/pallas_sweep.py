@@ -5,17 +5,24 @@ amortizes candidate traffic across all particles of a cell (the reference's
 cell-centric ``NeighborLoop!`` reimagined for VMEM, reference
 ``src/SPHCellList.jl:168-217``):
 
-  * one grid program per occupied cell (compacted list, scalar-prefetched
-    segment metadata),
-  * the sweep fields are packed as one ``[9, N]`` f32 array in HBM
-    (pos xyz, vel xyz, rho, pressure, motion limiter); each program DMAs its
-    cell's self window ``[9, MPC]`` plus S = 3^(D-1) stencil-row candidate
-    segments ``[9, CSEG]`` into VMEM,
-  * all pair math runs on ``[MPC, CSEG]`` VPU tiles (sublane = self particle,
+  * one grid program per occupied (cell, row-chunk) - the compacted program
+    tables are pure functions of ``cell_start`` and are built once per lazy
+    rebuild (``make_program_tables``, carried in the state), not per sweep,
+  * the sweep fields are packed twice in HBM: ``[F, N]`` lane-major for
+    candidate segments and ``[N, F]`` row-major for the self window (pos,
+    vel, rho, pressure, motion limiter); each program DMAs its self rows
+    ``[R + 8, F]`` (8-aligned, one cheap sublane roll) plus S = 3^(D-1)
+    stencil-row candidate segments ``[F, CSEG + 128]`` into VMEM,
+  * candidates are indexed IN PLACE in their 128-aligned windows - no lane
+    rolls (measured ~1/3 of sweep time) and no per-field transposes; lane
+    validity masks fold into the kernel-gradient factor g, and trailing
+    128-lane chunks are predicated off,
+  * all pair math runs on ``[R, 128]`` VPU tiles (sublane = self particle,
     lane = candidate), accumulating drho/acc (+ optional kernel/shifting
     sums) in VMEM,
-  * outputs are written per cell block ``[MAXC, MPC]`` - no write races by
-    construction - and gathered back to particle order with one XLA gather.
+  * outputs are written per (cell, chunk) block ``[maxp, R]`` - no write
+    races by construction - and gathered back to particle order with one
+    XLA gather.
 
 Candidate HBM traffic drops from O(N * S * CSEG) to O(ncells * S * CSEG),
 i.e. by the mean cell occupancy (tens of x).
@@ -36,10 +43,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import KernelOutputMode, ShiftingMode
+from ..state import PallasTables
 from .cell_list import Grid, linearize, stencil_rows
 from .interactions import PhysicsSpec, SweepOut
-
-SELF_WIN = 256  # aligned self window: 128 alignment slack + mpc <= 128 rows
 
 # packed field rows (D == 3): px py pz vx vy vz rho pres ml
 # for D == 2 the z rows are absent: px pz vx vz rho pres ml
@@ -49,16 +55,77 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def prog_rows(mpc: int) -> int:
+    """Self rows per program: cells larger than this get extra chunk programs."""
+    return min(mpc, 32)
+
+
 def pack_fields(position, velocity, density, pressure, ml):
-    """[F_pad, N] f32 packed sweep fields (transposed for lane-major
-    candidates).  The field axis is padded to a multiple of 8 so VMEM slices
-    of the packed array meet the sublane tiling."""
+    """Packed sweep fields, twice: ``[F_pad, N]`` (lane-major, for candidate
+    segments) and ``[N, F_pad]`` (row-major, for the per-program self window -
+    self rows are DMA'd directly in column orientation, so the kernel never
+    transposes).  The field axis is padded to a multiple of 8 so VMEM slices
+    meet the sublane tiling."""
     cols = [position[:, d] for d in range(position.shape[1])]
     cols += [velocity[:, d] for d in range(velocity.shape[1])]
     cols += [density, pressure, ml]
     pad = _round_up(len(cols), 8) - len(cols)
     cols += [jnp.zeros_like(density)] * pad
-    return jnp.stack(cols, axis=0)
+    packed = jnp.stack(cols, axis=0)
+    # the row-major copy is padded to full 128 lanes: Mosaic cannot slice a
+    # partial lane tile out of HBM for the self-window DMA (tiled (1,128)
+    # layout), and the padding costs ~0.1 ms/sweep of HBM writes at 160k
+    # particles - noise next to the kernel.
+    packedT = jnp.pad(packed.T, ((0, 0), (0, 128 - len(cols))))
+    return packed, packedT
+
+
+def make_program_tables(cell_start, grid: Grid, maxc: int, R: int,
+                        capacity: int) -> PallasTables:
+    """Compacted (cell, row-chunk) program tables from ``cell_start``.
+
+    Pure function of the cell list, so it runs once per lazy rebuild (carried
+    in ``SimulationState.pallas_tables``), not per sweep: the nonzero /
+    cumsum / scatter prelude is O(ncells) and measured ~26% of sweep wall
+    time when recomputed every call.
+
+    Each occupied cell gets ``ceil(count / R)`` consecutive programs - no
+    dead chunk programs, and the grid size is bounded by
+    ``maxc + capacity // R`` regardless of occupancy skew.
+    """
+    ncells = grid.ncells
+    counts = cell_start[1 : ncells + 1] - cell_start[:ncells]
+    (occ_keys,) = jnp.nonzero(counts > 0, size=maxc, fill_value=ncells)
+    occ_valid = occ_keys < ncells
+    maxp = maxc + capacity // R + 1
+
+    counts_occ = jnp.where(occ_valid, counts[jnp.minimum(occ_keys, ncells - 1)], 0)
+    nch = -(-counts_occ // R)                                  # live chunks/cell
+    offsets = jnp.cumsum(nch)                                  # [maxc]
+    prog_base = (offsets - nch).astype(jnp.int32)              # slot -> first prog
+    prog_slot = jnp.clip(
+        jnp.searchsorted(offsets, jnp.arange(maxp, dtype=offsets.dtype), side="right"),
+        0, maxc - 1,
+    ).astype(jnp.int32)                                        # prog -> slot
+    slot_of_cell = jnp.zeros((ncells + 1,), jnp.int32).at[occ_keys].set(
+        jnp.arange(maxc, dtype=jnp.int32), mode="drop"
+    )
+    return PallasTables(
+        occ_keys=occ_keys.astype(jnp.int32), prog_base=prog_base,
+        prog_slot=prog_slot, slot_of_cell=slot_of_cell,
+    )
+
+
+def init_program_tables(grid: Grid, maxc: int, R: int, capacity: int) -> PallasTables:
+    """Zero-filled tables with the shapes ``make_program_tables`` produces
+    (the first step of every interval rebuilds, so these are never swept)."""
+    maxp = maxc + capacity // R + 1
+    return PallasTables(
+        occ_keys=jnp.zeros((maxc,), jnp.int32),
+        prog_base=jnp.zeros((maxc,), jnp.int32),
+        prog_slot=jnp.zeros((maxp,), jnp.int32),
+        slot_of_cell=jnp.zeros((grid.ncells + 1,), jnp.int32),
+    )
 
 
 def _grad_w_factor(kern, q, d):
@@ -110,7 +177,10 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
       coefficient times x_ij (gw is built only for SPS / kernel-output /
       shifting modes);
     * reciprocals of per-particle densities are rank-1 ([1,L] / [R,1]), not
-      full-tile divisions.
+      full-tile divisions;
+    * the pair mask is folded into the kernel-gradient factor ``g`` once
+      (every output term except the kernel sum W is proportional to g, so a
+      single select replaces one mask multiply per output).
 
     The physics mirrors ops/interactions.py exactly (which in turn mirrors
     ComputeInteractions!, reference SPHCellList.jl:268-317); the interpret
@@ -147,8 +217,14 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
     rcp_rho_i = 1.0 / rho_i
 
     d = jnp.sqrt(d2)
-    q = jnp.clip(d * kern.h_inv, 0.0, 2.0)
+    q = d * kern.h_inv
     g = _grad_w_factor(kern, q, d)
+    # fold the pair mask into g once: every output term except W is
+    # proportional to g (or a power of it), so masked lanes vanish without a
+    # per-output mask multiply.  q is deliberately NOT clipped to [0, 2]:
+    # out-of-support lanes produce garbage-but-finite g that this select
+    # zeroes (only the STORE-mode W value needs its own mask below).
+    g = jnp.where(within, g, jnp.zeros_like(g))
     # scalar identities: x_ij . grad_W = g * d2;  v_ij . grad_W = g * (v.x)
     v_dot_x = sum(v * x for v, x in zip(vij, xij))
     g_d2 = g * d2
@@ -259,22 +335,23 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
         A = A_p * g
         dvdt = [A * x for x in xij]
 
-    mf = within.astype(drho.dtype)
-    out = {"drho": drho * mf}
+    # masks are already folded into g (every term below is proportional to g
+    # or a power of it); only the STORE-mode W value needs an explicit mask.
+    out = {"drho": drho}
     for r in range(dims):
-        out[f"dvdt{r}"] = dvdt[r] * mf
+        out[f"dvdt{r}"] = dvdt[r]
     if want_kernel:
         w = _w_value(kern, q)
-        out["w"] = w * mf
+        out["w"] = w * within.astype(w.dtype)
         for r in range(dims):
-            out[f"gw{r}"] = gw[r] * mf
+            out[f"gw{r}"] = gw[r]
     if want_shift:
         # add_shifting_terms! (reference :73-88): grad_C uses the self
         # density, div_r the neighbor's; -x_ij.gw = -g*d2.
         mlcond = ml_i * ml_j
         for r in range(dims):
-            out[f"gc{r}"] = (c.m0 * rcp_rho_i) * gw[r] * mf
-        out["dr"] = (c.m0 * rcp_rho_j) * (-g_d2) * mlcond * mf
+            out[f"gc{r}"] = (c.m0 * rcp_rho_i) * gw[r]
+        out["dr"] = (c.m0 * rcp_rho_j) * (-g_d2) * mlcond
     return out
 
 
@@ -291,13 +368,14 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
         cell_start_ref,  # [ncells+2] SMEM (prefetch)
         prog_slot_ref,   # [maxp] SMEM (prefetch): program -> occupied slot
         prog_base_ref,   # [maxc] SMEM (prefetch): slot -> first program id
-        packed_hbm,      # [F_pad, N] HBM
+        packed_hbm,      # [F_pad, N] HBM (lane-major, candidate segments)
+        packedT_hbm,     # [N, F_pad] HBM (row-major, self windows)
         drho_out, acc_out, *opt_outs,
     ):
         # trailing args: optional outputs then scratch buffers + semaphore
         n_opt = (2 if want_kernel else 0) + (2 if want_shift else 0)
         outs = (drho_out, acc_out) + opt_outs[:n_opt]
-        self_buf, cand_buf, acc_ref, sem = opt_outs[n_opt : n_opt + 4]
+        selfT_buf, cand_buf, acc_ref, sem = opt_outs[n_opt : n_opt + 4]
 
         # Compacted (cell, row-chunk) program list: only live chunks get
         # programs; slots past the live count point at a dead occ slot.
@@ -336,16 +414,18 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
         # all DMAs and compute; their output blocks are never gathered.
         @pl.when(is_live)
         def _body():
-            # Mosaic requires 128-aligned dynamic lane offsets for DMA: align
-            # the window start down and roll the rows back.  The driver pads
-            # the capacity so the clamp never bites for live cells.
-            s0_al = pl.multiple_of(
-                jnp.maximum(jnp.minimum((s0 // 128) * 128, n - SELF_WIN), 0), 128
+            # Self rows come from the ROW-major copy: the (8, 128) HBM tiling
+            # only constrains the sublane start to a multiple of 8, so the
+            # window is 8-aligned and de-rotated with one cheap sublane roll
+            # (no per-field transposes).  The driver pads the capacity so the
+            # clamp never bites for live cells.
+            s08 = pl.multiple_of(
+                jnp.maximum(jnp.minimum((s0 // 8) * 8, n - (R + 8)), 0), 8
             )
-            rem = s0 - s0_al  # in [0, 128)
+            rem8 = s0 - s08  # in [0, 8)
 
             cp_self = pltpu.make_async_copy(
-                packed_hbm.at[:, pl.ds(s0_al, SELF_WIN)], self_buf, sem.at[0]
+                packedT_hbm.at[pl.ds(s08, R + 8)], selfT_buf, sem.at[0]
             )
             cp_self.start()
 
@@ -389,76 +469,77 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
             cp_self.wait()
 
             # self quantities live as [R, 1] columns (rank-1: a fraction of
-            # the full-tile vreg cost)
+            # the full-tile vreg cost).  One sublane roll de-rotates the
+            # 8-aligned window; columns are then static lane slices.
+            # (positive modular shift: compiled Mosaic mis-lowers dynamic
+            # NEGATIVE roll shifts; interpret mode is correct, which is why
+            # interpret parity tests never caught it.)
+            selfT = pltpu.roll(selfT_buf[...], shift=(R + 8) - rem8, axis=0)[0:R]
+            self_f = [selfT[:, f : f + 1] for f in range(nfields)]
+
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
             idx_i = s0 + row_ids             # [R, 1] global sorted self index
             self_valid = row_ids < cnt       # [R, 1]
             cell_end = s0_cell + cnt_cell
             want_kernel_out = spec.kernel_output is KernelOutputMode.STORE
 
-            def self_field(f):
-                col = jnp.transpose(self_buf[f : f + 1, :])    # [SELF_WIN, 1]
-                # positive modular shift: compiled Mosaic mis-lowers dynamic
-                # NEGATIVE roll shifts on the lane axis (off by exactly -128;
-                # interpret mode is correct, which is why parity tests in
-                # interpret mode never caught it).  Use the positive
-                # equivalent everywhere.
-                return pltpu.roll(col, shift=SELF_WIN - rem, axis=0)[0:R, :]
-
-            self_f = [self_field(f) for f in range(nfields)]
-
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
             lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-            NL = cseg // 128
+            NLW = cwin // 128
 
             for s in range(S):
                 @pl.when(seg_re[s] > seg_rs[s])  # skip empty segments
                 def _segment():
                     seg_dma(s).wait()
 
-                    rem_s = seg_rs[s] - seg_rs_al[s]           # in [0, 128)
-                    # positive modular shift (see self_field note): dynamic
-                    # negative lane rolls are mis-compiled by an extra -128.
-                    rolled = pltpu.roll(cand_buf[s], shift=cwin - rem_s, axis=1)
-                    seg_len = seg_re[s] - seg_rs[s]
+                    # Candidates are indexed IN PLACE in the 128-aligned
+                    # window (no lane roll - rolls measured ~1/3 of sweep
+                    # time): chunk kc covers aligned lanes [kc*128, kc*128 +
+                    # 128), lane validity masks both the pre-segment head
+                    # (other cells' particles) and the tail.  All pair terms
+                    # are proportional to the masked g, so foreign lanes
+                    # contribute exact zeros.
+                    def chunk_body(kc):
+                        lo = kc * 128
+                        idx_j = (seg_rs_al[s] + lo) + lane_ids     # [1, 128]
+                        lane_valid = (idx_j >= seg_rs[s]) & (idx_j < seg_re[s])
+                        within = self_valid & lane_valid
+                        if want_kernel_out:
+                            # self-pair exclusion: every pair term vanishes
+                            # at d2 == 0 except the kernel sum W(0), so the
+                            # index test is only needed in kernel-output mode.
+                            within = within & (idx_j != idx_i)
+                        # diffusion role flag (cell-centric quirk):
+                        # intra-cell pairs give the i role to the lower
+                        # sorted index, cross-cell pairs to the particle
+                        # in the later cell (== higher sorted index,
+                        # arrays are key-sorted).  same_cell is lane-only;
+                        # composed with logical ops, not jnp.where -
+                        # Mosaic cannot lower select on boolean vectors
+                        # (i8->i1 trunci).
+                        same_cell = (idx_j >= s0_cell) & (idx_j < cell_end)
+                        i_is_role_i = ~(same_cell ^ (idx_i < idx_j))
+                        cand_f = [
+                            cand_buf[s][f : f + 1, lo : lo + 128]
+                            for f in range(nfields)
+                        ]
+                        terms = _pair_math(
+                            spec, dims, self_f, cand_f, i_is_role_i, within
+                        )
+                        # all chunks accumulate into the same 128 lanes (the
+                        # final op is a lane sum) - acc stays [keys, R, 128]
+                        for k in keys:
+                            acc_ref[ki[k], :, :] += terms[k]
 
-                    # the candidate axis is processed in predicated 128-lane
-                    # chunks: segments rarely fill the static cseg capacity
-                    # (avg occupancy ~ half), so trailing chunks skip their
-                    # VPU work entirely instead of computing masked lanes.
-                    for kc in range(NL):
-                        @pl.when(seg_len > kc * 128)
-                        def _chunk():
-                            lo = kc * 128
-                            idx_j = (seg_rs[s] + lo) + lane_ids    # [1, 128]
-                            lane_valid = idx_j < seg_re[s]          # [1, 128]
-                            within = self_valid & lane_valid
-                            if want_kernel_out:
-                                # self-pair exclusion: every pair term
-                                # vanishes at d2 == 0 except the kernel sum
-                                # W(0), so the index test is only needed in
-                                # kernel-output mode.
-                                within = within & (idx_j != idx_i)
-                            # diffusion role flag (cell-centric quirk):
-                            # intra-cell pairs give the i role to the lower
-                            # sorted index, cross-cell pairs to the particle
-                            # in the later cell (== higher sorted index,
-                            # arrays are key-sorted).  same_cell is lane-only;
-                            # composed with logical ops, not jnp.where -
-                            # Mosaic cannot lower select on boolean vectors
-                            # (i8->i1 trunci).
-                            same_cell = (idx_j >= s0_cell) & (idx_j < cell_end)
-                            i_is_role_i = ~(same_cell ^ (idx_i < idx_j))
-                            cand_f = [
-                                rolled[f : f + 1, lo : lo + 128]
-                                for f in range(nfields)
-                            ]
-                            terms = _pair_math(
-                                spec, dims, self_f, cand_f, i_is_role_i, within
-                            )
-                            for k in keys:
-                                acc_ref[ki[k], :, lo : lo + 128] += terms[k]
+                    # chunk 0 always holds live lanes when the segment is
+                    # non-empty (seg_rs sits inside the first aligned chunk);
+                    # later chunks are predicated on holding any live lane.
+                    chunk_body(0)
+                    for kc in range(1, NLW):
+                        pl.when(seg_re[s] > seg_rs_al[s] + kc * 128)(
+                            functools.partial(chunk_body, kc)
+                        )
 
             # lane-reduce and store per-(cell, chunk) blocks
             def rsum(k):
@@ -499,6 +580,7 @@ def pallas_pair_sweep(
     density,
     pressure,
     velocity,
+    tables: "PallasTables | None" = None,
     interpret: bool = False,
 ) -> SweepOut:
     """Full-device sweep via the fused cell kernel (single-chip path).
@@ -506,13 +588,16 @@ def pallas_pair_sweep(
     ``mpc``: self-window capacity (>= max cell occupancy, multiple of 8);
     ``cseg``: candidate segment capacity (>= 3 * max occupancy, multiple of
     128); ``maxc``: occupied-cell list capacity.
+
+    ``tables``: rebuild-time program tables (see :func:`make_program_tables`).
+    ``None`` (direct callers / tests) computes them inline per sweep.
     """
     dims = position.shape[1]
     n = position.shape[0]
-    if n % 128 != 0 or n < max(cseg + 128, SELF_WIN):
+    if n % 128 != 0 or n < cseg + 128:
         raise ValueError(
             f"particle capacity {n} must be a multiple of 128 and >= the DMA "
-            f"windows (cseg+128={cseg + 128}, self={SELF_WIN}); pad the capacity"
+            f"window (cseg+128={cseg + 128}); pad the capacity"
         )
     if mpc % 8 != 0:
         raise ValueError(f"mpc={mpc} must be a multiple of 8")
@@ -522,7 +607,7 @@ def pallas_pair_sweep(
     nfields = 2 * dims + 3
     nfields_pad = _round_up(nfields, 8)
 
-    packed = pack_fields(
+    packed, packedT = pack_fields(
         position.astype(jnp.float32),
         velocity.astype(jnp.float32),
         density.astype(jnp.float32),
@@ -531,28 +616,19 @@ def pallas_pair_sweep(
     )
 
     ncells = grid.ncells
-    counts = cell_start[1 : ncells + 1] - cell_start[:ncells]
-    (occ_keys,) = jnp.nonzero(counts > 0, size=maxc, fill_value=ncells)
-    occ_valid = occ_keys < ncells
-
     want_kernel = spec.kernel_output is KernelOutputMode.STORE
     want_shift = spec.shifting is ShiftingMode.PLANAR
     n_keys = (1 + dims) * (1 + int(want_kernel) + int(want_shift))
 
-    # Compacted (cell, row-chunk) program list: each occupied cell gets
-    # ceil(count / R) consecutive programs - no dead chunk programs, and the
-    # grid size is bounded by maxc + capacity/R regardless of occupancy skew.
-    R = min(mpc, 32)
+    R = prog_rows(mpc)
     maxp = maxc + n // R + 1
-
-    counts_occ = jnp.where(occ_valid, counts[jnp.minimum(occ_keys, ncells - 1)], 0)
-    nch = -(-counts_occ // R)                                  # live chunks/cell
-    offsets = jnp.cumsum(nch)                                  # [maxc]
-    prog_base = (offsets - nch).astype(jnp.int32)              # slot -> first prog
-    prog_slot = jnp.clip(
-        jnp.searchsorted(offsets, jnp.arange(maxp, dtype=offsets.dtype), side="right"),
-        0, maxc - 1,
-    ).astype(jnp.int32)                                        # prog -> slot
+    if tables is None:
+        tables = make_program_tables(cell_start, grid, maxc, R, n)
+    if tables.prog_slot.shape[0] != maxp:
+        raise ValueError(
+            f"program tables sized for maxp={tables.prog_slot.shape[0]}, "
+            f"expected {maxp} (maxc={maxc}, capacity={n}, R={R})"
+        )
 
     scalar_shape = jax.ShapeDtypeStruct((maxp, 1, R), jnp.float32)
     vector_shape = jax.ShapeDtypeStruct((maxp, dims, R), jnp.float32)
@@ -573,12 +649,15 @@ def pallas_pair_sweep(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(maxp,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((nfields_pad, SELF_WIN), jnp.float32),
+            pltpu.VMEM((R + 8, 128), jnp.float32),
             pltpu.VMEM((S, nfields_pad, cseg + 128), jnp.float32),
-            pltpu.VMEM((n_keys, R, cseg), jnp.float32),
+            pltpu.VMEM((n_keys, R, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((1 + S,)),
         ],
     )
@@ -590,27 +669,25 @@ def pallas_pair_sweep(
         out_shape=tuple(out_shapes),
         interpret=interpret,
     )(
-        occ_keys.astype(jnp.int32),
+        tables.occ_keys,
         cell_start.astype(jnp.int32),
-        prog_slot,
-        prog_base,
+        tables.prog_slot,
+        tables.prog_base,
         packed,
+        packedT,
     )
 
     # gather per-(cell, chunk) blocks back to particle order
     keys_p = linearize(particles.cell, grid)
     keys_p = jnp.where(particles.active, keys_p, ncells)
-    slot_of_cell = jnp.zeros((ncells + 1,), jnp.int32).at[occ_keys].set(
-        jnp.arange(maxc, dtype=jnp.int32), mode="drop"
-    )
-    slot = slot_of_cell[jnp.minimum(keys_p, ncells)]
+    slot = tables.slot_of_cell[jnp.minimum(keys_p, ncells)]
     s0 = jnp.where(keys_p < ncells, cell_start[jnp.minimum(keys_p, ncells - 1)], 0)
     rank = jnp.clip(jnp.arange(n, dtype=jnp.int32) - s0, 0, mpc - 1)
     live = particles.active
 
     dtype = position.dtype
 
-    prog_idx = jnp.clip(prog_base[slot] + rank // R, 0, maxp - 1)
+    prog_idx = jnp.clip(tables.prog_base[slot] + rank // R, 0, maxp - 1)
     row_idx = rank % R
 
     def take(block, vec=False):

@@ -19,7 +19,7 @@ from jax import shard_map
 
 from ..core.driver import Simulation
 from ..core.step import StepConfig, sph_step
-from ..state import Particles, SimulationState
+from ..state import PallasTables, Particles, SimulationState, empty_pallas_tables
 from .context import CommContext
 
 AXIS = "particles"
@@ -53,6 +53,9 @@ def state_specs(axis: str = AXIS) -> SimulationState:
         max_segment=P(),
         occupied_cells=P(),
         position_half=P(axis),
+        pallas_tables=PallasTables(
+            occ_keys=P(), prog_base=P(), prog_slot=P(), slot_of_cell=P()
+        ),
     )
 
 
@@ -138,6 +141,9 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
     cap = sim.state.particles.capacity
     new_cap = int(-(-cap // ndev) * ndev)
     state = pad_capacity(sim.state, new_cap)
+    # the sharded path runs the gather sweep (no per-device Pallas programs
+    # yet), so drop the single-chip program tables instead of replicating them
+    state = state.replace(pallas_tables=empty_pallas_tables())
 
     interval_fn, cfg = make_sharded_interval_fn(sim.cfg, mesh, axis)
     specs = state_specs(axis)

@@ -82,7 +82,8 @@ def main():
     if "nostep" in which:
         real_sweep = step_mod._sweep
 
-        def zero_sweep(cfg_, pp, cs_, pos_, dens_, pres_, vel_, idx_base):
+        def zero_sweep(cfg_, pp, cs_, pos_, dens_, pres_, vel_, idx_base,
+                       tables=None):
             from sphexample_tpu.ops.interactions import SweepOut
             z = jnp.zeros_like(dens_)
             return SweepOut(drhodt=z, acceleration=jnp.zeros_like(pos_),
@@ -96,6 +97,11 @@ def main():
         finally:
             step_mod._sweep = real_sweep
 
+    tables = jax.jit(
+        lambda cs_: ps.make_program_tables(
+            cs_, cfg.grid, cfg.maxc, ps.prog_rows(cfg.mpc), p2.capacity)
+    )(cs)
+
     def sweep_loop():
         # pallas_pair_sweep is itself jitted: identical static args would hit
         # the trace cache and silently reuse the previously-built kernel,
@@ -107,7 +113,8 @@ def main():
             def body(i, dens_):
                 out = ps.pallas_pair_sweep(
                     cfg.spec, cfg.grid, cfg.mpc, cfg.cseg, cfg.maxc,
-                    p2, cs, p2.position, dens_, p2.pressure, p2.velocity)
+                    p2, cs, p2.position, dens_, p2.pressure, p2.velocity,
+                    tables=tables)
                 return dens_ + 0.0 * out.drhodt + 0.0 * out.acceleration[:, 0]
             return jax.lax.fori_loop(0, reps, body, dens0)
         return run
@@ -135,14 +142,11 @@ def main():
     def probe_kernel(mode):
         """Replacement _make_kernel measuring subsets of the real kernel:
         'gridzero' = scalar prologue + zero outputs (grid + wrapper cost);
-        'dma'      = + self/segment DMAs and waits (adds DMA cost);
-        'dmaroll'  = + rolls and self transposes (adds shuffle cost)."""
-        import jax as _jax
+        'dma'      = + self/segment DMAs and waits (adds DMA cost)."""
         import jax.numpy as _jnp
         from jax.experimental import pallas as _pl
         from jax.experimental.pallas import tpu as _pltpu
         from sphexample_tpu.ops.cell_list import stencil_rows as _srows
-        from sphexample_tpu.ops.pallas_sweep import SELF_WIN as _SW
 
         def factory(spec, grid, dims, nfields, mpc, cseg, S, n, R):
             ncells = grid.ncells
@@ -151,8 +155,9 @@ def main():
             rows_np = _srows(dims)
 
             def kernel(occ_keys_ref, cell_start_ref, prog_slot_ref,
-                       prog_base_ref, packed_hbm, drho_out, acc_out, *opt):
-                self_buf, cand_buf, acc_ref, sem = opt[0:4]
+                       prog_base_ref, packed_hbm, packedT_hbm,
+                       drho_out, acc_out, *opt):
+                selfT_buf, cand_buf, acc_ref, sem = opt[0:4]
                 b = _pl.program_id(0)
                 slot = prog_slot_ref[b]
                 key = occ_keys_ref[slot]
@@ -182,11 +187,10 @@ def main():
 
                 @_pl.when(is_live)
                 def _body():
-                    s0_al = _pl.multiple_of(_jnp.maximum(
-                        _jnp.minimum((s0 // 128) * 128, n - _SW), 0), 128)
-                    rem = s0 - s0_al
+                    s08 = _pl.multiple_of(_jnp.maximum(
+                        _jnp.minimum((s0 // 8) * 8, n - (R + 8)), 0), 8)
                     cp = _pltpu.make_async_copy(
-                        packed_hbm.at[:, _pl.ds(s0_al, _SW)], self_buf,
+                        packedT_hbm.at[_pl.ds(s08, R + 8)], selfT_buf,
                         sem.at[0])
                     cp.start()
                     seg_rs, seg_re, seg_al = [], [], []
@@ -214,33 +218,19 @@ def main():
                                 packed_hbm.at[:, _pl.ds(seg_al[s], cwin)],
                                 cand_buf.at[s], sem.at[1 + s]).start()
                     cp.wait()
-                    if mode == "dmaroll":
-                        cols = [
-                            _pltpu.roll(
-                                _jnp.transpose(self_buf[f:f + 1, :]),
-                                shift=_SW - rem, axis=0)[0:R, :]
-                            for f in range(nfields)
-                        ]
-                        acc_ref[0, :, 0:128] += sum(
-                            c for c in cols) * _jnp.ones((R, 128),
-                                                         _jnp.float32)
                     for s in range(S):
                         @_pl.when(seg_re[s] > seg_rs[s])
                         def _w():
                             _pltpu.make_async_copy(
                                 packed_hbm.at[:, _pl.ds(seg_al[s], cwin)],
                                 cand_buf.at[s], sem.at[1 + s]).wait()
-                            if mode == "dmaroll":
-                                rem_s = seg_rs[s] - seg_al[s]
-                                rolled = _pltpu.roll(
-                                    cand_buf[s], shift=cwin - rem_s, axis=1)
-                                acc_ref[0, :, :] += rolled[0:1, 0:cseg]
+                            acc_ref[0, :, :] += cand_buf[s][0:1, 0:128]
 
             return kernel
 
         return factory
 
-    for mode in ("gridzero", "dma", "dmaroll"):
+    for mode in ("gridzero", "dma"):
         if mode in which:
             real_mk = ps._make_kernel
             ps._make_kernel = probe_kernel(mode)
