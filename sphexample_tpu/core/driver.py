@@ -178,6 +178,7 @@ def assemble_simulation(
         occupied_cells=jnp.zeros((), dtype=jnp.int32),
         position_half=jnp.zeros_like(particles.position),
         pallas_tables=tables,
+        max_halo=jnp.zeros((), dtype=jnp.int32),
     )
     return Simulation(cfg=cfg, state=state, meta=meta, n_live=n)
 
@@ -228,6 +229,12 @@ def _overflow_reason(cfg: StepConfig, state) -> Optional[str]:
             f"occupied cells {int(state.occupied_cells)} exceeded the "
             f"program-grid capacity {cfg.maxc}; raise max_occupied_cells"
         )
+    if cfg.halo and int(state.max_halo) > cfg.halo:
+        return (
+            f"stencil windows reached {int(state.max_halo)} sorted rows past "
+            f"a slab boundary, exceeding the halo capacity {cfg.halo}; "
+            f"re-shard with a larger halo"
+        )
     return None
 
 
@@ -242,6 +249,14 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
     seg = int(failed_state.max_segment)
     ncc = int(failed_state.occupied_cells)
     cfg = sim.cfg
+    if cfg.ctx.is_sharded:
+        raise RuntimeError(
+            "neighbor windows outgrew their budgets under a sharded run "
+            f"(occ {occ}, seg {seg}, cells {ncc}, halo "
+            f"{int(failed_state.max_halo)}/{cfg.halo}); auto-retune cannot "
+            "re-shard - rebuild the simulation with larger max_per_cell / "
+            "halo and re-shard"
+        )
 
     if cfg.use_pallas:
         # a retune fires while occupancy is still climbing (dam-break impact

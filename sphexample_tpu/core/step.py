@@ -60,6 +60,9 @@ class StepConfig:
     mpc: int = 0            # self-window capacity (multiple of 8)
     maxc: int = 0           # occupied-cell list capacity
     pallas_interpret: bool = False  # CPU interpreter mode (tests)
+    # sharded Pallas: halo rows exchanged with each slab neighbor per sweep
+    # (multiple of 128; 0 = fall back to the all-gather XLA sweep)
+    halo: int = 0
 
 
 def _sweep(cfg: StepConfig, p, cell_start, position, density, pressure, velocity,
@@ -71,6 +74,14 @@ def _sweep(cfg: StepConfig, p, cell_start, position, density, pressure, velocity
         return pallas_pair_sweep(
             cfg.spec, cfg.grid, cfg.mpc, cfg.cseg, cfg.maxc,
             p, cell_start, position, density, pressure, velocity,
+            tables=tables, interpret=cfg.pallas_interpret,
+        )
+    if cfg.use_pallas and cfg.ctx.is_sharded and cfg.halo > 0:
+        from ..ops.pallas_sweep import pallas_pair_sweep_sharded
+
+        return pallas_pair_sweep_sharded(
+            cfg.spec, cfg.grid, cfg.mpc, cfg.cseg, cfg.maxc, cfg.halo,
+            p, cell_start, position, density, pressure, velocity, cfg.ctx,
             tables=tables, interpret=cfg.pallas_interpret,
         )
     ctx = cfg.ctx
@@ -111,37 +122,59 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     dt2 = dt * 0.5
 
     # 02 - lazy rebuild when dx >= h
-    use_pallas_here = cfg.use_pallas and not ctx.is_sharded
+    pallas_single = cfg.use_pallas and not ctx.is_sharded
+    pallas_halo = cfg.use_pallas and ctx.is_sharded and cfg.halo > 0
 
     def do_rebuild(p_in):
         sorted_p, cell_start, occ = cl.rebuild(p_in, kern.H_inv, cfg.grid, ctx)
-        base = ctx.rank() * sorted_p.capacity
-        nblk = (base + jnp.arange(sorted_p.capacity, dtype=jnp.int32)) // cfg.block_size
+        cap = sorted_p.capacity
+        base = ctx.rank() * cap
+        nblk = (base + jnp.arange(cap, dtype=jnp.int32)) // cfg.block_size
         sorted_p = sorted_p.replace(chunk_id=nblk)
         seg = cl.max_row_segment(cell_start, cfg.grid)
         counts = cell_start[1 : cfg.grid.ncells + 1] - cell_start[: cfg.grid.ncells]
         ncc = jnp.sum(counts > 0).astype(jnp.int32)
-        if use_pallas_here:
+        halo_need = state.max_halo
+        if pallas_single:
             from ..ops.pallas_sweep import make_program_tables, prog_rows
 
             tables = make_program_tables(
-                cell_start, cfg.grid, cfg.maxc, prog_rows(cfg.mpc),
-                sorted_p.capacity,
+                cell_start, cfg.grid, cfg.maxc, prog_rows(cfg.mpc), cap
             )
+        elif pallas_halo:
+            from ..ops.pallas_sweep import make_local_program_tables, prog_rows
+
+            tables = make_local_program_tables(
+                cell_start, cfg.grid, cfg.maxc, prog_rows(cfg.mpc), base, cap,
+                cap + 2 * cfg.halo,
+            )
+            # halo telemetry: furthest sorted-row reach of any live local
+            # stencil window past the slab boundaries (empty segments have
+            # start == end == 0 and must not count)
+            starts, ends = cl.row_segments(sorted_p.cell, cfg.grid, cell_start)
+            live_seg = sorted_p.active[:, None] & (ends > starts)
+            lneed = jnp.max(jnp.where(live_seg, base - starts, 0))
+            rneed = jnp.max(jnp.where(live_seg, ends - (base + cap), 0))
+            halo_need = ctx.pmax(
+                jnp.maximum(jnp.maximum(lneed, rneed), 0)
+            ).astype(jnp.int32)
         else:
             tables = state.pallas_tables
-        return sorted_p, cell_start, occ, seg, ncc, jnp.zeros_like(dx_acc), tables
+        return (sorted_p, cell_start, occ, seg, ncc, jnp.zeros_like(dx_acc),
+                tables, halo_need)
 
     def no_rebuild(p_in):
         return (p_in, state.cell_start, state.max_occupancy, state.max_segment,
-                state.occupied_cells, dx_acc, state.pallas_tables)
+                state.occupied_cells, dx_acc, state.pallas_tables,
+                state.max_halo)
 
-    p, cell_start, occ, seg, ncc, dx_acc, tables = jax.lax.cond(
+    p, cell_start, occ, seg, ncc, dx_acc, tables, halo_need = jax.lax.cond(
         dx_acc >= kern.h, do_rebuild, no_rebuild, p
     )
     occ = jnp.maximum(occ, state.max_occupancy)
     seg = jnp.maximum(seg, state.max_segment)
     ncc = jnp.maximum(ncc, state.occupied_cells)
+    halo_need = jnp.maximum(halo_need, state.max_halo)
 
     # -- motion (first half, reference :765)
     pos, vel = progress_motion(cfg.motion, p, state.total_time, dt2)
@@ -239,6 +272,7 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
         occupied_cells=ncc,
         position_half=pos_half,
         pallas_tables=tables,
+        max_halo=halo_need,
     )
     return new_state, dx_acc
 

@@ -95,11 +95,42 @@ def make_program_tables(cell_start, grid: Grid, maxc: int, R: int,
     """
     ncells = grid.ncells
     counts = cell_start[1 : ncells + 1] - cell_start[:ncells]
-    (occ_keys,) = jnp.nonzero(counts > 0, size=maxc, fill_value=ncells)
-    occ_valid = occ_keys < ncells
-    maxp = maxc + capacity // R + 1
+    return _tables_from_counts(counts, counts, grid, maxc, R,
+                               maxc + capacity // R + 1)
 
-    counts_occ = jnp.where(occ_valid, counts[jnp.minimum(occ_keys, ncells - 1)], 0)
+
+def make_local_program_tables(cell_start, grid: Grid, maxc: int, R: int,
+                              base, local_rows: int,
+                              ext_capacity: int) -> PallasTables:
+    """Per-device program tables under ``shard_map`` (halo-exchange path).
+
+    A device enumerates programs for every cell whose sorted rows intersect
+    its local slab ``[base, base + local_rows)``; straddling boundary cells
+    are computed in full (their non-local rows land in the halo and are
+    simply never gathered - at most ~one cell of duplicated work per slab
+    boundary).  ``nprog`` comes back as shape [1] so it shards over the
+    device axis.
+    """
+    ncells = grid.ncells
+    counts_full = cell_start[1 : ncells + 1] - cell_start[:ncells]
+    lo = jnp.clip(cell_start[:ncells] - base, 0, local_rows)
+    hi = jnp.clip(cell_start[1 : ncells + 1] - base, 0, local_rows)
+    t = _tables_from_counts(hi - lo, counts_full, grid, maxc, R,
+                            maxc + ext_capacity // R + 1)
+    return t.replace(nprog=t.nprog[None])
+
+
+def _tables_from_counts(counts_select, counts_prog, grid: Grid, maxc: int,
+                        R: int, maxp: int) -> PallasTables:
+    """Shared table construction: cells with ``counts_select > 0`` get
+    ``ceil(counts_prog / R)`` consecutive programs each."""
+    ncells = grid.ncells
+    (occ_keys,) = jnp.nonzero(counts_select > 0, size=maxc, fill_value=ncells)
+    occ_valid = occ_keys < ncells
+
+    counts_occ = jnp.where(
+        occ_valid, counts_prog[jnp.minimum(occ_keys, ncells - 1)], 0
+    )
     nch = -(-counts_occ // R)                                  # live chunks/cell
     offsets = jnp.cumsum(nch)                                  # [maxc]
     prog_base = (offsets - nch).astype(jnp.int32)              # slot -> first prog
@@ -113,6 +144,7 @@ def make_program_tables(cell_start, grid: Grid, maxc: int, R: int,
     return PallasTables(
         occ_keys=occ_keys.astype(jnp.int32), prog_base=prog_base,
         prog_slot=prog_slot, slot_of_cell=slot_of_cell,
+        nprog=jnp.minimum(offsets[-1], maxp).astype(jnp.int32),
     )
 
 
@@ -125,6 +157,7 @@ def init_program_tables(grid: Grid, maxc: int, R: int, capacity: int) -> PallasT
         prog_base=jnp.zeros((maxc,), jnp.int32),
         prog_slot=jnp.zeros((maxp,), jnp.int32),
         slot_of_cell=jnp.zeros((grid.ncells + 1,), jnp.int32),
+        nprog=jnp.zeros((), jnp.int32),
     )
 
 
@@ -230,9 +263,17 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
     g_d2 = g * d2
     g_vx = g * v_dot_x
     gw = [g * x for x in xij] if need_gw else None
-    # shared denominator of diffusion psi and artificial-viscosity mu
+    # shared denominator of diffusion psi and artificial-viscosity mu.  On
+    # the artificial path the two needed reciprocals 1/d2_eta and
+    # 1/(rho_i+rho_j) are fused into ONE (reciprocals are multi-op on the
+    # VPU): r = 1/(d2_eta * rsum), inv_d2 = r * rsum.
     d2_eta = d2 + kern.eta2
-    inv_d2 = 1.0 / d2_eta
+    if vm is ViscosityModel.ARTIFICIAL:
+        rho_sum = rho_i + rho_j
+        r_fused = 1.0 / (d2_eta * rho_sum)
+        inv_d2 = r_fused * rho_sum
+    else:
+        inv_d2 = 1.0 / d2_eta
 
     # continuity (reference :289-291): drho+ = -rho_i (m0/rho_j) (-v_ij.gw)
     drho = (c.m0 * rho_i) * rcp_rho_j * g_vx
@@ -293,12 +334,12 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
 
     # viscosity (reference SPHViscosityModels.jl)
     if vm is ViscosityModel.ARTIFICIAL:
-        # pi = m0 alpha c0 mu / rho_bar, mu = h (v.x)/d2eta, only where v.x<0
-        rcp_rsum = 1.0 / (rho_i + rho_j)
+        # pi = m0 alpha c0 mu / rho_bar, mu = h (v.x)/d2eta, only where
+        # v.x < 0 - the gate folds into min(v.x, 0) (one op, no select)
         pi_fac = (
-            (2.0 * c.m0 * c.alpha * c.c0 * kern.h) * v_dot_x * inv_d2 * rcp_rsum
+            (2.0 * c.m0 * c.alpha * c.c0 * kern.h)
+            * jnp.minimum(v_dot_x, 0.0) * r_fused
         )
-        pi_fac = jnp.where(v_dot_x < 0, pi_fac, jnp.zeros_like(pi_fac))
         A = (A_p + pi_fac) * g
         dvdt = [A * x for x in xij]
     elif vm in (ViscosityModel.LAMINAR, ViscosityModel.LAMINAR_SPS):
@@ -615,11 +656,6 @@ def pallas_pair_sweep(
         particles.motion_limiter.astype(jnp.float32),
     )
 
-    ncells = grid.ncells
-    want_kernel = spec.kernel_output is KernelOutputMode.STORE
-    want_shift = spec.shifting is ShiftingMode.PLANAR
-    n_keys = (1 + dims) * (1 + int(want_kernel) + int(want_shift))
-
     R = prog_rows(mpc)
     maxp = maxc + n // R + 1
     if tables is None:
@@ -629,6 +665,31 @@ def pallas_pair_sweep(
             f"program tables sized for maxp={tables.prog_slot.shape[0]}, "
             f"expected {maxp} (maxc={maxc}, capacity={n}, R={R})"
         )
+
+    outs = _invoke_kernel(
+        spec, grid, mpc, cseg, tables, cell_start, packed, packedT, n, dims,
+        interpret,
+    )
+    idx_k = jnp.arange(n, dtype=jnp.int32)
+    return _gather_back(
+        outs, spec, grid, mpc, tables, cell_start, particles.cell,
+        particles.active, idx_k, position.dtype,
+    )
+
+
+def _invoke_kernel(spec, grid, mpc, cseg, tables, cell_start_k, packed,
+                   packedT, n_k, dims, interpret):
+    """Launch the fused kernel over ``packed``/``packedT`` with segment
+    bounds from ``cell_start_k`` (single-chip: global sorted rows; sharded:
+    halo-extended local rows - the kernel is coordinate-agnostic)."""
+    S = 3 ** (dims - 1)
+    nfields = 2 * dims + 3
+    nfields_pad = _round_up(nfields, 8)
+    want_kernel = spec.kernel_output is KernelOutputMode.STORE
+    want_shift = spec.shifting is ShiftingMode.PLANAR
+    n_keys = (1 + dims) * (1 + int(want_kernel) + int(want_shift))
+    R = prog_rows(mpc)
+    maxp = tables.prog_slot.shape[0]
 
     scalar_shape = jax.ShapeDtypeStruct((maxp, 1, R), jnp.float32)
     vector_shape = jax.ShapeDtypeStruct((maxp, dims, R), jnp.float32)
@@ -646,9 +707,15 @@ def pallas_pair_sweep(
     # Scalar prefetch: compacted occupied keys, cell_start, and the program
     # list - all 1-D SMEM; per-cell segment metadata is derived with scalar
     # arithmetic inside the kernel.
+    # Dynamic grid: only the live programs are launched on hardware (the
+    # compacted list has no dead chunks, but the table CAPACITY maxp is
+    # ~2.5x the live count).  Interpret mode requires a static trip count;
+    # its extra programs fail the is_live gate and no-op.
+    nprog = tables.nprog if tables.nprog.ndim == 0 else tables.nprog[0]
+    grid_size = maxp if interpret else nprog
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(maxp,),
+        grid=(grid_size,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -662,30 +729,43 @@ def pallas_pair_sweep(
         ],
     )
 
-    kernel = _make_kernel(spec, grid, dims, nfields, mpc, cseg, S, n, R)
-    outs = pl.pallas_call(
+    kernel = _make_kernel(spec, grid, dims, nfields, mpc, cseg, S, n_k, R)
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=tuple(out_shapes),
         interpret=interpret,
     )(
         tables.occ_keys,
-        cell_start.astype(jnp.int32),
+        cell_start_k.astype(jnp.int32),
         tables.prog_slot,
         tables.prog_base,
         packed,
         packedT,
     )
 
-    # gather per-(cell, chunk) blocks back to particle order
-    keys_p = linearize(particles.cell, grid)
-    keys_p = jnp.where(particles.active, keys_p, ncells)
-    slot = tables.slot_of_cell[jnp.minimum(keys_p, ncells)]
-    s0 = jnp.where(keys_p < ncells, cell_start[jnp.minimum(keys_p, ncells - 1)], 0)
-    rank = jnp.clip(jnp.arange(n, dtype=jnp.int32) - s0, 0, mpc - 1)
-    live = particles.active
 
-    dtype = position.dtype
+def _gather_back(outs, spec, grid, mpc, tables, cell_start_k, cells, active,
+                 idx_k, dtype):
+    """Gather per-(cell, chunk) output blocks back to particle order.
+
+    ``idx_k`` holds each local particle's row index in the kernel's
+    coordinate system (global sorted rows single-chip; halo-extended local
+    rows sharded)."""
+    ncells = grid.ncells
+    R = prog_rows(mpc)
+    maxp = tables.prog_slot.shape[0]
+    want_kernel = spec.kernel_output is KernelOutputMode.STORE
+    want_shift = spec.shifting is ShiftingMode.PLANAR
+
+    keys_p = linearize(cells, grid)
+    keys_p = jnp.where(active, keys_p, ncells)
+    slot = tables.slot_of_cell[jnp.minimum(keys_p, ncells)]
+    s0 = jnp.where(
+        keys_p < ncells, cell_start_k[jnp.minimum(keys_p, ncells - 1)], 0
+    )
+    rank = jnp.clip(idx_k - s0, 0, mpc - 1)
+    live = active
 
     prog_idx = jnp.clip(tables.prog_base[slot] + rank // R, 0, maxp - 1)
     row_idx = rank % R
@@ -711,4 +791,108 @@ def pallas_pair_sweep(
     return SweepOut(
         drhodt=drho, acceleration=acc,
         kernel_w=kw, kernel_grad=kg, grad_c=gc, div_r=dr,
+    )
+
+
+def pallas_pair_sweep_sharded(
+    spec: PhysicsSpec,
+    grid: Grid,
+    mpc: int,
+    cseg: int,
+    maxc: int,
+    halo: int,
+    particles,               # LOCAL slab Particles (cell / ml / active)
+    cell_start,              # [ncells+2] int32 GLOBAL sorted rows (replicated)
+    position,                # [C, D] local sweep fields
+    density,
+    pressure,
+    velocity,
+    ctx,                     # sharded CommContext (inside shard_map)
+    tables: "PallasTables | None" = None,
+    interpret: bool = False,
+) -> SweepOut:
+    """Per-device fused sweep under ``shard_map`` with a 1-hop halo exchange.
+
+    The particle axis is sharded in global cell-sorted order, so every
+    neighbor of a local particle lives within one stencil reach of the slab
+    boundary - at most ``halo`` sorted rows away (telemetry-checked, see
+    ``max_halo`` in the state).  Each device:
+
+      * packs its local sweep fields ([F, C]),
+      * ppermutes the first/last ``halo`` packed rows with its two slab
+        neighbors (2 x [F, halo] transfers over ICI - this replaces the
+        all-gather of the full global arrays, reference counterpart
+        ``src/SPHCellList.jl:174-214`` thread fan-out),
+      * runs the UNCHANGED cell kernel on the halo-extended arrays with
+        ``cell_start`` rebased to extended-local coordinates,
+      * gathers only its own rows back (straddling boundary cells are
+        computed in full; the non-local rows are discarded).
+
+    Per-device sweep memory is O(C + halo), not O(N_global).  ``halo`` and
+    the local capacity must be multiples of 128 so the extended coordinates
+    preserve the 128-aligned DMA windows (and, with them, bitwise-identical
+    chunk boundaries vs the single-chip kernel).
+    """
+    C = position.shape[0]
+    H = halo
+    if C % 128 != 0 or H % 128 != 0:
+        raise ValueError(f"local capacity {C} and halo {H} must be multiples of 128")
+    dims = position.shape[1]
+    n_ext = C + 2 * H
+    if n_ext < cseg + 128:
+        raise ValueError(
+            f"extended window {n_ext} smaller than the candidate DMA window "
+            f"{cseg + 128}; raise the halo or capacity"
+        )
+    if mpc % 8 != 0 or cseg % 128 != 0:
+        raise ValueError("mpc must be a multiple of 8 and cseg of 128")
+
+    packed, _ = pack_fields(
+        position.astype(jnp.float32),
+        velocity.astype(jnp.float32),
+        density.astype(jnp.float32),
+        pressure.astype(jnp.float32),
+        particles.motion_limiter.astype(jnp.float32),
+    )
+
+    # 1-hop halo exchange: my left halo is the LEFT neighbor's tail, my
+    # right halo the RIGHT neighbor's head.  Edge devices receive zeros
+    # (lax.ppermute semantics), which is correct: their windows never reach
+    # past the global array ends.
+    ndev = ctx.num_devices
+    fwd = [(i, i + 1) for i in range(ndev - 1)]
+    bwd = [(i + 1, i) for i in range(ndev - 1)]
+    left = jax.lax.ppermute(packed[:, C - H:], ctx.axis, fwd)
+    right = jax.lax.ppermute(packed[:, :H], ctx.axis, bwd)
+    packed_ext = jnp.concatenate([left, packed, right], axis=1)
+    nf = 2 * dims + 3
+    nf_pad = _round_up(nf, 8)
+    packedT_ext = jnp.pad(packed_ext.T, ((0, 0), (0, 128 - nf_pad)))
+
+    # rebase global sorted rows to extended-local coordinates: local row r
+    # sits at ext index H + r; cells beyond one halo clamp harmlessly (they
+    # are never in this device's program list, and clamped stencil windows
+    # are exactly what the halo-overflow telemetry guards).
+    base = ctx.rank() * C
+    cs_ext = jnp.clip(cell_start - (base - H), 0, n_ext).astype(jnp.int32)
+
+    R = prog_rows(mpc)
+    maxp = maxc + n_ext // R + 1
+    if tables is None:
+        tables = make_local_program_tables(cell_start, grid, maxc, R, base, C,
+                                           n_ext)
+    if tables.prog_slot.shape[0] != maxp:
+        raise ValueError(
+            f"local program tables sized for maxp={tables.prog_slot.shape[0]},"
+            f" expected {maxp} (maxc={maxc}, ext capacity={n_ext}, R={R})"
+        )
+
+    outs = _invoke_kernel(
+        spec, grid, mpc, cseg, tables, cs_ext, packed_ext, packedT_ext, n_ext,
+        dims, interpret,
+    )
+    idx_ext = H + jnp.arange(C, dtype=jnp.int32)
+    return _gather_back(
+        outs, spec, grid, mpc, tables, cs_ext, particles.cell,
+        particles.active, idx_ext, position.dtype,
     )

@@ -54,8 +54,10 @@ def state_specs(axis: str = AXIS) -> SimulationState:
         occupied_cells=P(),
         position_half=P(axis),
         pallas_tables=PallasTables(
-            occ_keys=P(), prog_base=P(), prog_slot=P(), slot_of_cell=P()
+            occ_keys=P(axis), prog_base=P(axis), prog_slot=P(axis),
+            slot_of_cell=P(axis), nprog=P(axis),
         ),
+        max_halo=P(),
     )
 
 
@@ -132,20 +134,94 @@ def make_sharded_interval_fn(cfg: StepConfig, mesh: Mesh, axis: str = AXIS):
     return interval, cfg
 
 
+def measure_halo(position, active, inv_cutoff, grid, ndev: int, capacity: int) -> int:
+    """Host-side: max sorted-row reach of any stencil window past a slab
+    boundary in the initial configuration.  Every neighbor cell of cell k has
+    a linear key within ``sum(strides)`` of k, so the reach at a boundary is
+    bounded by the particle count of that key band (runtime telemetry guards
+    drift as the fluid moves)."""
+    pos = np.asarray(position)
+    act = np.asarray(active)
+    ncells = grid.ncells
+    c = (np.sign(pos) * np.trunc(np.abs(pos) * inv_cutoff + 0.5)).astype(np.int64)
+    c = np.clip(c, np.asarray(grid.cmin),
+                np.asarray(grid.cmin) + np.asarray(grid.shape) - 1)
+    key = ((c - np.asarray(grid.cmin)) * np.asarray(grid.strides)).sum(axis=1)
+    key = np.where(act, key, ncells)
+    skeys = np.sort(key, kind="stable")
+    cell_start = np.searchsorted(skeys, np.arange(ncells + 2))
+    C = capacity // ndev
+    W = int(sum(grid.strides))
+    need = 0
+    for d in range(1, ndev):
+        b = d * C
+        kb = int(skeys[min(b, capacity - 1)])
+        kprev = int(skeys[b - 1])
+        if kb < ncells:
+            need = max(need, b - int(cell_start[max(kb - W, 0)]))
+        if kprev < ncells:
+            need = max(need, int(cell_start[min(kprev + W + 1, ncells)]) - b)
+    return int(need)
+
+
 def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = AXIS) -> Simulation:
     """Return a copy of ``sim`` whose state lives sharded over ``mesh`` and
-    whose interval function runs SPMD.  Capacity is padded up to a multiple of
-    the mesh size."""
+    whose interval function runs SPMD.  Capacity is padded up to a multiple
+    of ``ndev * 128`` (slab capacities stay 128-aligned for the Pallas DMA
+    windows).
+
+    With ``cfg.use_pallas`` the sweeps run the per-device fused kernel with a
+    1-hop halo exchange (``pallas_pair_sweep_sharded``) - the halo capacity
+    is sized from the initial geometry with 2x margin and guarded by the
+    ``max_halo`` rebuild telemetry.  Without it (or when the measured halo
+    would exceed a slab) the all-gather XLA sweep runs instead."""
+    import dataclasses as _dc
+
     mesh = mesh or make_mesh()
     ndev = mesh.shape[axis]
     cap = sim.state.particles.capacity
-    new_cap = int(-(-cap // ndev) * ndev)
+    new_cap = int(-(-cap // (ndev * 128)) * (ndev * 128))
     state = pad_capacity(sim.state, new_cap)
-    # the sharded path runs the gather sweep (no per-device Pallas programs
-    # yet), so drop the single-chip program tables instead of replicating them
-    state = state.replace(pallas_tables=empty_pallas_tables())
 
-    interval_fn, cfg = make_sharded_interval_fn(sim.cfg, mesh, axis)
+    cfg0 = sim.cfg
+    halo = 0
+    if cfg0.use_pallas:
+        C = new_cap // ndev
+        need = measure_halo(
+            state.particles.position, state.particles.active,
+            cfg0.spec.kernel.H_inv, cfg0.grid, ndev, new_cap,
+        )
+        r128 = lambda v: -(-int(v) // 128) * 128  # noqa: E731
+        want = r128(need * 2 + 128)               # 2x margin for drift
+        if want <= C:
+            halo = want
+        elif r128(need + 64) <= C:
+            halo = C                              # tight fit, telemetry guards
+        else:
+            halo = 0  # slabs thinner than the stencil reach: 1 hop can't cover
+
+    if halo > 0:
+        from ..ops.pallas_sweep import init_program_tables, prog_rows
+
+        # per-device tables, stacked on the device axis (leading dim shards)
+        C = new_cap // ndev
+        t = init_program_tables(cfg0.grid, cfg0.maxc, prog_rows(cfg0.mpc),
+                                C + 2 * halo)
+        state = state.replace(
+            pallas_tables=jax.tree.map(
+                lambda a: jnp.tile(a[None], (ndev,) + (1,) * a.ndim).reshape(
+                    (ndev * a.shape[0],) + a.shape[1:]
+                ) if a.ndim else jnp.zeros((ndev,), a.dtype),
+                t,
+            )
+        )
+    else:
+        # the gather sweep needs no program tables
+        state = state.replace(pallas_tables=empty_pallas_tables())
+
+    interval_fn, cfg = make_sharded_interval_fn(
+        _dc.replace(cfg0, halo=halo), mesh, axis
+    )
     specs = state_specs(axis)
     shardings = jax.tree.map(
         lambda spec: NamedSharding(mesh, spec), specs,

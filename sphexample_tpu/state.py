@@ -142,11 +142,15 @@ class PallasTables:
     prog_base: jax.Array     # [maxc] int32 slot -> first program id
     prog_slot: jax.Array     # [maxp] int32 program id -> occupied slot
     slot_of_cell: jax.Array  # [ncells + 1] int32 cell key -> occupied slot
+    nprog: jax.Array         # scalar int32 live program count (dynamic grid)
 
 
 def empty_pallas_tables() -> PallasTables:
+    # every leaf is rank-1 so the sharded state specs (P(axis) on all table
+    # leaves) stay valid for the table-less gather path
     z = jnp.zeros((0,), dtype=jnp.int32)
-    return PallasTables(occ_keys=z, prog_base=z, prog_slot=z, slot_of_cell=z)
+    return PallasTables(occ_keys=z, prog_base=z, prog_slot=z, slot_of_cell=z,
+                        nprog=z)
 
 
 @struct.dataclass
@@ -170,3 +174,9 @@ class SimulationState:
     # Pallas program tables refreshed at every lazy rebuild (empty when the
     # Pallas sweep is off).
     pallas_tables: PallasTables = struct.field(default_factory=empty_pallas_tables)
+    # Sharded halo telemetry: max sorted-row reach of any local stencil
+    # window past the slab boundary, pmax'd over devices at rebuild (0 on
+    # single-chip runs).  The driver raises if it outgrows cfg.halo.
+    max_halo: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )

@@ -94,3 +94,80 @@ def test_mesh_capacity_padding():
     cap = sharded.state.particles.capacity
     assert cap % 8 == 0 and cap >= n0
     assert int(jnp.sum(sharded.state.particles.active)) == sim.n_live
+
+
+def _tall_column_setup(use_pallas):
+    """A tall 2D water column: thin in x, long in z, so the sorted particle
+    slabs (z-major) are much thicker than one stencil reach - the geometry
+    the 1-hop halo exchange needs."""
+    import dataclasses
+
+    const = SimulationConstants(dx=0.02, c0=40.0, cfl=0.3)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+    dx = const.dx
+    nx, nz = 6, 220
+    xs, zs = np.meshgrid(np.arange(nx), np.arange(nz), indexing="ij")
+    fluid = np.stack([xs.ravel() * dx, zs.ravel() * dx + dx], axis=-1)
+    floor_x = np.arange(-3, nx + 3) * dx
+    floor = np.stack([floor_x, np.full_like(floor_x, 0.0)], axis=-1)
+    # side walls keep the column together
+    wall_z = np.arange(0, nz + 6) * dx
+    lw = np.stack([np.full_like(wall_z, -dx), wall_z], axis=-1)
+    rw = np.stack([np.full_like(wall_z, nx * dx), wall_z], axis=-1)
+    bound = np.concatenate([floor, lw, rw])
+    pos = np.concatenate([bound, fluid])
+    nb, nf = len(bound), len(fluid)
+    ptype = np.concatenate([np.full(nb, 2), np.full(nf, 1)]).astype(np.int32)
+    dens = np.full(len(pos), const.rho0)
+    idp = np.arange(1, len(pos) + 1)
+    grp = np.ones(len(pos), np.int32)
+
+    meta = SimulationMetaData(
+        simulation_name="halo", save_location=".", dims=2, dtype="float64",
+        simulation_time=0.02, output_times=0.005, block_size=32,
+        grid_margin_cells=4, use_pallas=use_pallas,
+    )
+    sim = assemble_simulation(
+        pos, dens, ptype, grp, idp, meta, const, kern,
+        ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+    )
+    if use_pallas:
+        from sphexample_tpu.core.step import make_interval_fn
+
+        sim.cfg = dataclasses.replace(sim.cfg, pallas_interpret=True)
+        sim.interval_fn = make_interval_fn(sim.cfg)  # rebuild over the new cfg
+    return sim
+
+
+def test_sharded_pallas_halo_matches_single_chip():
+    """The per-device fused sweep with 1-hop halo exchange must reproduce the
+    single-chip Pallas trajectory (interpret mode on the virtual mesh)."""
+    assert len(jax.devices()) >= 4
+    sim_single = _tall_column_setup(use_pallas=True)
+    sim_shard = shard_simulation(_tall_column_setup(use_pallas=True), make_mesh(4))
+    assert sim_shard.cfg.halo > 0, (
+        "halo sizing fell back to all-gather; enlarge the column so slabs "
+        "exceed one stencil reach"
+    )
+
+    t_out = jnp.asarray(0.004, dtype=jnp.float64)
+    final_single = sim_single.interval_fn(sim_single.state, t_out)
+    final_shard = sim_shard.interval_fn(sim_shard.state, t_out)
+
+    assert int(final_shard.iteration) == int(final_single.iteration)
+    assert int(final_shard.max_halo) <= sim_shard.cfg.halo
+
+    def by_id(state):
+        ids = np.asarray(state.particles.id)
+        order = np.argsort(ids)
+        return order[ids[order] > 0]
+
+    o1 = by_id(final_single)
+    o2 = by_id(final_shard)
+    for field in ("position", "velocity", "density", "pressure", "acceleration"):
+        a = np.asarray(getattr(final_single.particles, field))[o1]
+        b = np.asarray(getattr(final_shard.particles, field))[o2]
+        # same pair terms, same per-chunk accumulation boundaries (slab bases
+        # are multiples of 128), so only the cross-ppermute packing reorders
+        # float ops - tolerances are tight f64
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12, err_msg=field)
