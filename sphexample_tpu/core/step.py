@@ -139,14 +139,15 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
             from ..ops.pallas_sweep import make_program_tables, prog_rows
 
             tables = make_program_tables(
-                cell_start, cfg.grid, cfg.maxc, prog_rows(cfg.mpc), cap
+                cell_start, cfg.grid, cfg.maxc, prog_rows(cfg.mpc), cap,
+                sorted_p.cell, sorted_p.active, cfg.mpc,
             )
         elif pallas_halo:
             from ..ops.pallas_sweep import make_local_program_tables, prog_rows
 
             tables = make_local_program_tables(
                 cell_start, cfg.grid, cfg.maxc, prog_rows(cfg.mpc), base, cap,
-                cap + 2 * cfg.halo,
+                cap + 2 * cfg.halo, sorted_p.cell, sorted_p.active, cfg.mpc,
             )
             # halo telemetry: furthest sorted-row reach of any live local
             # stencil window past the slab boundaries (empty segments have
@@ -185,7 +186,8 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     # densities with pre-correction pressures, as the reference does).
     p = p.replace(pressure=eq.pressure(p.density, c))
 
-    # 04 - mDBC
+    # 04 - mDBC (fused Pallas moment kernel on the single-chip path; the
+    # gather loop under shard_map)
     if meta.mdbc is MDBCMode.SIMPLE:
         p = p.replace(
             density=mdbc_density_correction(
@@ -193,6 +195,9 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
                 global_position=ctx.gather(p.position),
                 global_density=ctx.gather(p.density),
                 global_ptype=ctx.gather(p.ptype),
+                use_pallas=pallas_single,
+                mpc=cfg.mpc,
+                pallas_interpret=cfg.pallas_interpret,
             )
         )
 

@@ -88,6 +88,9 @@ def mdbc_density_correction(
     global_position=None,
     global_density=None,
     global_ptype=None,
+    use_pallas: bool = False,
+    mpc: int = 0,
+    pallas_interpret: bool = False,
 ):
     """Return the corrected density array.
 
@@ -114,6 +117,21 @@ def mdbc_density_correction(
 
     gpoint = ghost[bidx]                                   # [B, D]
     gcoords = clamp_coords(cell_coords(gpoint, kern.H_inv), grid)
+
+    if use_pallas:
+        # fused cell kernel for the moment accumulation (the gather loop
+        # below is the mdbc analog of the slow XLA sweep); fluid-only test
+        # rides the motion-limiter field (ml == 1 <=> FLUID).  Single-chip
+        # only: the local cell-sorted arrays ARE the global ones (the caller
+        # dispatches the gather path under shard_map).
+        from .pallas_mdbc import pallas_mdbc_moments
+
+        bvec, Amat = pallas_mdbc_moments(
+            spec, grid, mpc, cseg, gpoint, bvalid,
+            particles.position, particles.density, particles.motion_limiter,
+            cell_start, interpret=pallas_interpret,
+        )
+        return _mdbc_apply(spec, particles, bidx, bvalid, gpoint, bvec, Amat)
 
     def ghost_fn(xs):
         # per-ghost moment accumulation; lax.map batches this, bounding the
@@ -158,7 +176,13 @@ def mdbc_density_correction(
 
     bs = min(1024, bidx.shape[0])
     bvec, Amat = jax.lax.map(ghost_fn, (gpoint, gcoords, bvalid), batch_size=bs)
+    return _mdbc_apply(spec, particles, bidx, bvalid, gpoint, bvec, Amat)
 
+
+def _mdbc_apply(spec, particles, bidx, bvalid, gpoint, bvec, Amat):
+    """Det-solve + Shepard/NaN decision tree (reference SPHCellList.jl:606-621),
+    shared by the gather and Pallas moment paths."""
+    c = spec.constants
     det, sol = _det_solve(Amat, bvec)
     diff = particles.position[bidx] - gpoint
     rho_solve = sol[..., 0] + jnp.sum(sol[..., 1:] * diff, axis=-1)

@@ -81,13 +81,14 @@ def pack_fields(position, velocity, density, pressure, ml):
 
 
 def make_program_tables(cell_start, grid: Grid, maxc: int, R: int,
-                        capacity: int) -> PallasTables:
+                        capacity: int, cells, active, mpc: int) -> PallasTables:
     """Compacted (cell, row-chunk) program tables from ``cell_start``.
 
-    Pure function of the cell list, so it runs once per lazy rebuild (carried
-    in ``SimulationState.pallas_tables``), not per sweep: the nonzero /
-    cumsum / scatter prelude is O(ncells) and measured ~26% of sweep wall
-    time when recomputed every call.
+    Pure function of the cell list (and of the rebuild-sorted particle
+    order), so it runs once per lazy rebuild (carried in
+    ``SimulationState.pallas_tables``), not per sweep: the nonzero / cumsum /
+    scatter prelude is O(ncells) and measured ~26% of sweep wall time when
+    recomputed every call; the per-particle gather-back indices ride along.
 
     Each occupied cell gets ``ceil(count / R)`` consecutive programs - no
     dead chunk programs, and the grid size is bounded by
@@ -95,13 +96,14 @@ def make_program_tables(cell_start, grid: Grid, maxc: int, R: int,
     """
     ncells = grid.ncells
     counts = cell_start[1 : ncells + 1] - cell_start[:ncells]
-    return _tables_from_counts(counts, counts, grid, maxc, R,
-                               maxc + capacity // R + 1)
+    t = _tables_from_counts(counts, counts, grid, maxc, R,
+                            maxc + capacity // R + 1)
+    return _with_gather_indices(t, cell_start, cells, active, 0, grid, mpc, R)
 
 
 def make_local_program_tables(cell_start, grid: Grid, maxc: int, R: int,
-                              base, local_rows: int,
-                              ext_capacity: int) -> PallasTables:
+                              base, local_rows: int, ext_capacity: int,
+                              cells, active, mpc: int) -> PallasTables:
     """Per-device program tables under ``shard_map`` (halo-exchange path).
 
     A device enumerates programs for every cell whose sorted rows intersect
@@ -117,7 +119,39 @@ def make_local_program_tables(cell_start, grid: Grid, maxc: int, R: int,
     hi = jnp.clip(cell_start[1 : ncells + 1] - base, 0, local_rows)
     t = _tables_from_counts(hi - lo, counts_full, grid, maxc, R,
                             maxc + ext_capacity // R + 1)
+    halo = (ext_capacity - local_rows) // 2
+    cs_ext = jnp.clip(cell_start - (base - halo), 0, ext_capacity)
+    t = _with_gather_indices(t, cs_ext, cells, active, halo, grid, mpc, R)
     return t.replace(nprog=t.nprog[None])
+
+
+def _with_gather_indices(t: PallasTables, cell_start_k, cells, active, idx0,
+                         grid: Grid, mpc: int, R: int) -> PallasTables:
+    """Attach the particle-row -> (program block, row) gather indices -
+    rebuild-constant, so computed here rather than per sweep."""
+    ncells = grid.ncells
+    maxp = t.prog_slot.shape[0]
+    keys_p = linearize(cells, grid)
+    keys_p = jnp.where(active, keys_p, ncells)
+    slot = t.slot_of_cell[jnp.minimum(keys_p, ncells)]
+    s0 = jnp.where(
+        keys_p < ncells, cell_start_k[jnp.minimum(keys_p, ncells - 1)], 0
+    )
+    n_local = cells.shape[0]
+    # rank must NOT be clipped to the window budget: chunked programs cover
+    # ANY cell occupancy (ceil(count/R) chunks), and clipping aliases every
+    # high-rank entry onto one block row (observed as identical wrong mDBC
+    # moments for all ghosts past mpc in a crowded ghost cell).  Inactive
+    # entries produce huge ranks; the prog_idx clip keeps them in bounds and
+    # their values are masked by `active` downstream.
+    rank = jnp.maximum(
+        (idx0 + jnp.arange(n_local, dtype=jnp.int32)) - s0, 0
+    )
+    prog_idx = jnp.clip(t.prog_base[slot] + rank // R, 0, maxp - 1)
+    return t.replace(
+        prog_idx=prog_idx.astype(jnp.int32),
+        row_idx=(rank % R).astype(jnp.int32),
+    )
 
 
 def _tables_from_counts(counts_select, counts_prog, grid: Grid, maxc: int,
@@ -141,23 +175,31 @@ def _tables_from_counts(counts_select, counts_prog, grid: Grid, maxc: int,
     slot_of_cell = jnp.zeros((ncells + 1,), jnp.int32).at[occ_keys].set(
         jnp.arange(maxc, dtype=jnp.int32), mode="drop"
     )
+    z = jnp.zeros((0,), jnp.int32)
     return PallasTables(
         occ_keys=occ_keys.astype(jnp.int32), prog_base=prog_base,
         prog_slot=prog_slot, slot_of_cell=slot_of_cell,
         nprog=jnp.minimum(offsets[-1], maxp).astype(jnp.int32),
+        prog_idx=z, row_idx=z,
     )
 
 
-def init_program_tables(grid: Grid, maxc: int, R: int, capacity: int) -> PallasTables:
+def init_program_tables(grid: Grid, maxc: int, R: int, capacity: int,
+                        local_rows: "int | None" = None) -> PallasTables:
     """Zero-filled tables with the shapes ``make_program_tables`` produces
-    (the first step of every interval rebuilds, so these are never swept)."""
+    (the first step of every interval rebuilds, so these are never swept).
+    ``local_rows`` sizes the gather indices when ``capacity`` is the
+    halo-extended window (sharded path)."""
     maxp = maxc + capacity // R + 1
+    nloc = capacity if local_rows is None else local_rows
     return PallasTables(
         occ_keys=jnp.zeros((maxc,), jnp.int32),
         prog_base=jnp.zeros((maxc,), jnp.int32),
         prog_slot=jnp.zeros((maxp,), jnp.int32),
         slot_of_cell=jnp.zeros((grid.ncells + 1,), jnp.int32),
         nprog=jnp.zeros((), jnp.int32),
+        prog_idx=jnp.zeros((nloc,), jnp.int32),
+        row_idx=jnp.zeros((nloc,), jnp.int32),
     )
 
 
@@ -569,9 +611,9 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                             spec, dims, self_f, cand_f, i_is_role_i, within
                         )
                         # all chunks accumulate into the same 128 lanes (the
-                        # final op is a lane sum) - acc stays [keys, R, 128]
-                        for k in keys:
-                            acc_ref[ki[k], :, :] += terms[k]
+                        # final op is a lane sum); one stacked read-modify-
+                        # write instead of n_keys separate VMEM RMWs
+                        acc_ref[...] += jnp.stack([terms[k] for k in keys])
 
                     # chunk 0 always holds live lanes when the segment is
                     # non-empty (seg_rs sits inside the first aligned chunk);
@@ -659,7 +701,8 @@ def pallas_pair_sweep(
     R = prog_rows(mpc)
     maxp = maxc + n // R + 1
     if tables is None:
-        tables = make_program_tables(cell_start, grid, maxc, R, n)
+        tables = make_program_tables(cell_start, grid, maxc, R, n,
+                                     particles.cell, particles.active, mpc)
     if tables.prog_slot.shape[0] != maxp:
         raise ValueError(
             f"program tables sized for maxp={tables.prog_slot.shape[0]}, "
@@ -670,11 +713,7 @@ def pallas_pair_sweep(
         spec, grid, mpc, cseg, tables, cell_start, packed, packedT, n, dims,
         interpret,
     )
-    idx_k = jnp.arange(n, dtype=jnp.int32)
-    return _gather_back(
-        outs, spec, grid, mpc, tables, cell_start, particles.cell,
-        particles.active, idx_k, position.dtype,
-    )
+    return _gather_back(outs, spec, tables, particles.active, position.dtype)
 
 
 def _invoke_kernel(spec, grid, mpc, cseg, tables, cell_start_k, packed,
@@ -745,30 +784,14 @@ def _invoke_kernel(spec, grid, mpc, cseg, tables, cell_start_k, packed,
     )
 
 
-def _gather_back(outs, spec, grid, mpc, tables, cell_start_k, cells, active,
-                 idx_k, dtype):
-    """Gather per-(cell, chunk) output blocks back to particle order.
-
-    ``idx_k`` holds each local particle's row index in the kernel's
-    coordinate system (global sorted rows single-chip; halo-extended local
-    rows sharded)."""
-    ncells = grid.ncells
-    R = prog_rows(mpc)
-    maxp = tables.prog_slot.shape[0]
+def _gather_back(outs, spec, tables, active, dtype):
+    """Gather per-(cell, chunk) output blocks back to particle order using
+    the rebuild-time indices carried in the tables."""
     want_kernel = spec.kernel_output is KernelOutputMode.STORE
     want_shift = spec.shifting is ShiftingMode.PLANAR
-
-    keys_p = linearize(cells, grid)
-    keys_p = jnp.where(active, keys_p, ncells)
-    slot = tables.slot_of_cell[jnp.minimum(keys_p, ncells)]
-    s0 = jnp.where(
-        keys_p < ncells, cell_start_k[jnp.minimum(keys_p, ncells - 1)], 0
-    )
-    rank = jnp.clip(idx_k - s0, 0, mpc - 1)
     live = active
-
-    prog_idx = jnp.clip(tables.prog_base[slot] + rank // R, 0, maxp - 1)
-    row_idx = rank % R
+    prog_idx = tables.prog_idx
+    row_idx = tables.row_idx
 
     def take(block, vec=False):
         if vec:
@@ -879,8 +902,10 @@ def pallas_pair_sweep_sharded(
     R = prog_rows(mpc)
     maxp = maxc + n_ext // R + 1
     if tables is None:
-        tables = make_local_program_tables(cell_start, grid, maxc, R, base, C,
-                                           n_ext)
+        tables = make_local_program_tables(
+            cell_start, grid, maxc, R, base, C, n_ext,
+            particles.cell, particles.active, mpc,
+        )
     if tables.prog_slot.shape[0] != maxp:
         raise ValueError(
             f"local program tables sized for maxp={tables.prog_slot.shape[0]},"
@@ -891,8 +916,4 @@ def pallas_pair_sweep_sharded(
         spec, grid, mpc, cseg, tables, cs_ext, packed_ext, packedT_ext, n_ext,
         dims, interpret,
     )
-    idx_ext = H + jnp.arange(C, dtype=jnp.int32)
-    return _gather_back(
-        outs, spec, grid, mpc, tables, cs_ext, particles.cell,
-        particles.active, idx_ext, position.dtype,
-    )
+    return _gather_back(outs, spec, tables, particles.active, position.dtype)

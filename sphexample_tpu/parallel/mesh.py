@@ -55,7 +55,8 @@ def state_specs(axis: str = AXIS) -> SimulationState:
         position_half=P(axis),
         pallas_tables=PallasTables(
             occ_keys=P(axis), prog_base=P(axis), prog_slot=P(axis),
-            slot_of_cell=P(axis), nprog=P(axis),
+            slot_of_cell=P(axis), nprog=P(axis), prog_idx=P(axis),
+            row_idx=P(axis),
         ),
         max_halo=P(),
     )
@@ -206,7 +207,7 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
         # per-device tables, stacked on the device axis (leading dim shards)
         C = new_cap // ndev
         t = init_program_tables(cfg0.grid, cfg0.maxc, prog_rows(cfg0.mpc),
-                                C + 2 * halo)
+                                C + 2 * halo, local_rows=C)
         state = state.replace(
             pallas_tables=jax.tree.map(
                 lambda a: jnp.tile(a[None], (ndev,) + (1,) * a.ndim).reshape(

@@ -143,6 +143,10 @@ class PallasTables:
     prog_slot: jax.Array     # [maxp] int32 program id -> occupied slot
     slot_of_cell: jax.Array  # [ncells + 1] int32 cell key -> occupied slot
     nprog: jax.Array         # scalar int32 live program count (dynamic grid)
+    # gather-back indices: particle row -> (program block, row-in-block).
+    # Pure functions of the sorted order, so rebuild-time as well.
+    prog_idx: jax.Array      # [capacity] int32
+    row_idx: jax.Array       # [capacity] int32
 
 
 def empty_pallas_tables() -> PallasTables:
@@ -150,7 +154,7 @@ def empty_pallas_tables() -> PallasTables:
     # leaves) stay valid for the table-less gather path
     z = jnp.zeros((0,), dtype=jnp.int32)
     return PallasTables(occ_keys=z, prog_base=z, prog_slot=z, slot_of_cell=z,
-                        nprog=z)
+                        nprog=z, prog_idx=z, row_idx=z)
 
 
 @struct.dataclass

@@ -99,7 +99,8 @@ def main():
 
     tables = jax.jit(
         lambda cs_: ps.make_program_tables(
-            cs_, cfg.grid, cfg.maxc, ps.prog_rows(cfg.mpc), p2.capacity)
+            cs_, cfg.grid, cfg.maxc, ps.prog_rows(cfg.mpc), p2.capacity,
+            p2.cell, p2.active, cfg.mpc)
     )(cs)
 
     def sweep_loop():

@@ -78,8 +78,68 @@ def main():
         ok &= line_ok
         print(f"{name}: maxdiff={d:.3e} nonzero pallas/xla={nz_p}/{nz_x} "
               f"{'OK' if line_ok else 'FAIL'}")
+
+    ok &= _mdbc_parity()
     print("PARITY OK" if ok else "PARITY FAIL", file=sys.stderr)
     return 0 if ok else 1
+
+
+def _mdbc_parity():
+    """Compiled Pallas mDBC moment kernel vs the gather path on the chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from sphexample_tpu.config import (DensityDiffusionModel, KernelFamily,
+                                       SimulationConstants, ViscosityModel,
+                                       make_kernel)
+    from sphexample_tpu.ops import cell_list as cl
+    from sphexample_tpu.ops.interactions import PhysicsSpec
+    from sphexample_tpu.ops.mdbc import mdbc_density_correction
+    from sphexample_tpu.state import allocate_particles
+
+    rng = np.random.default_rng(11)
+    const = SimulationConstants(dx=0.05)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 3, dx=const.dx)
+    n_b, n_f = 600, 4000
+    n = n_b + n_f
+    pos_b = rng.uniform(-0.15, 0.0, size=(n_b, 3))
+    pos_f = rng.uniform(0.0, 0.6, size=(n_f, 3))
+    pos = np.concatenate([pos_b, pos_f])
+    ghost = np.zeros_like(pos)
+    ghost[:n_b] = pos_b + np.array([0.1, 0.0, 0.0])
+    dens = rng.uniform(995, 1040, size=n)
+    ptype = np.concatenate([np.full(n_b, 2), np.full(n_f, 1)]).astype(np.int32)
+
+    cap = -(-max(n, 512) // 128) * 128
+    parts = allocate_particles(
+        pos, dens, ptype, np.ones(n, np.int32), np.arange(1, n + 1),
+        dtype=jnp.float32, capacity=cap,
+    )
+    parts = parts.replace(
+        ghost_points=parts.ghost_points.at[:n].set(jnp.asarray(ghost, jnp.float32))
+    )
+    grid = cl.grid_from_positions(pos, kern.H_inv, margin_cells=3)
+    sorted_p, cell_start, _ = jax.jit(
+        lambda pp: cl.rebuild(pp, kern.H_inv, grid)
+    )(parts)
+    spec = PhysicsSpec(
+        constants=const, kernel=kern,
+        viscosity=ViscosityModel.ZERO, diffusion=DensityDiffusionModel.ZERO,
+    )
+
+    def run(use_pallas):
+        return mdbc_density_correction(
+            spec, grid, cseg=384, particles=sorted_p, cell_start=cell_start,
+            boundary_capacity=n_b, use_pallas=use_pallas, mpc=64,
+        )
+
+    a = np.asarray(run(True))
+    b = np.asarray(run(False))
+    rel = np.max(np.abs(a - b) / np.maximum(np.abs(b), 1.0))
+    line_ok = rel < 1e-4
+    print(f"mdbc: max rel diff pallas vs gather = {rel:.3e} "
+          f"{'OK' if line_ok else 'FAIL'}")
+    return bool(line_ok)
 
 
 if __name__ == "__main__":
