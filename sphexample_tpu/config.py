@@ -294,6 +294,10 @@ class SimulationMetaData:
     # at current kernel speed - 12x under the watchdog - while cutting the
     # per-interval host round-trips from ~15 to ~2.
     max_steps_per_call: Optional[int] = 64
+    # Overlap snapshot device->host transfers and HDF5 writes with the next
+    # interval's device compute (worker thread; measured 33% of headline
+    # wall when synchronous over the tunneled link).
+    async_output: bool = True
 
     def output_time_for(self, counter: int) -> float:
         """next_output_time (reference src/SPHCellList.jl:687-698)."""

@@ -60,6 +60,11 @@ def prog_rows(mpc: int) -> int:
     return min(mpc, 32)
 
 
+# Trace-time toggle: predicate trailing candidate chunks (skip their VPU
+# work) vs compute them masked.  Measured on-chip per kernel change.
+PREDICATE_CHUNKS = True
+
+
 def pack_fields(position, velocity, density, pressure, ml):
     """Packed sweep fields, twice: ``[F_pad, N]`` (lane-major, for candidate
     segments) and ``[N, F_pad]`` (row-major, for the per-program self window -
@@ -618,11 +623,18 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                     # chunk 0 always holds live lanes when the segment is
                     # non-empty (seg_rs sits inside the first aligned chunk);
                     # later chunks are predicated on holding any live lane.
+                    # (PREDICATE_CHUNKS=False computes every chunk with masks
+                    # instead - a measurement toggle for the branch-vs-lanes
+                    # trade; correctness is identical since masked lanes
+                    # contribute exact zeros.)
                     chunk_body(0)
                     for kc in range(1, NLW):
-                        pl.when(seg_re[s] > seg_rs_al[s] + kc * 128)(
-                            functools.partial(chunk_body, kc)
-                        )
+                        if PREDICATE_CHUNKS:
+                            pl.when(seg_re[s] > seg_rs_al[s] + kc * 128)(
+                                functools.partial(chunk_body, kc)
+                            )
+                        else:
+                            chunk_body(kc)
 
             # lane-reduce and store per-(cell, chunk) blocks
             def rsum(k):

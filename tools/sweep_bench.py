@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--dx", type=float, default=0.0085)
     ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--which", default="step,sweep,sweepstub,nostep")
+    ap.add_argument("--no-chunk-pred", action="store_true",
+                    help="compute trailing candidate chunks masked instead "
+                         "of predicated (branch-vs-lanes experiment)")
     args = ap.parse_args()
     which = set(args.which.split(","))
 
@@ -42,6 +45,9 @@ def main():
     from sphexample_tpu.io.casegen import dam_break_3d
     from sphexample_tpu.ops import cell_list as cl
     from sphexample_tpu.ops import pallas_sweep as ps
+
+    if args.no_chunk_pred:
+        ps.PREDICATE_CHUNKS = False
 
     dx = args.dx
     pos, dens, ptype, grp, idp = dam_break_3d(dx)
