@@ -458,12 +458,10 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
         prog_base_ref,   # [maxc] SMEM (prefetch): slot -> first program id
         packed_hbm,      # [F_pad, N] HBM (lane-major, candidate segments)
         packedT_hbm,     # [N, F_pad] HBM (row-major, self windows)
-        drho_out, acc_out, *opt_outs,
+        mom_out,         # [1, K_pad, R] fused output block (all keys)
+        selfT_buf, cand_buf, acc_ref, sem,
     ):
-        # trailing args: optional outputs then scratch buffers + semaphore
-        n_opt = (2 if want_kernel else 0) + (2 if want_shift else 0)
-        outs = (drho_out, acc_out) + opt_outs[:n_opt]
-        selfT_buf, cand_buf, acc_ref, sem = opt_outs[n_opt : n_opt + 4]
+        outs = (mom_out,)
 
         # Compacted (cell, row-chunk) program list: only live chunks get
         # programs; slots past the live count point at a dead occ slot.
@@ -636,25 +634,10 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                         else:
                             chunk_body(kc)
 
-            # lane-reduce and store per-(cell, chunk) blocks
-            def rsum(k):
-                return jnp.sum(acc_ref[ki[k]], axis=1, keepdims=True).T  # [1, R]
-
-            def store_vec(ref, base):
-                ref[...] = jnp.concatenate(
-                    [rsum(f"{base}{r}") for r in range(dims)], axis=0
-                )[None, :, :]
-
-            outs[0][...] = rsum("drho")[None, :, :]
-            store_vec(outs[1], "dvdt")
-            io = 2
-            if want_kernel:
-                outs[io][...] = rsum("w")[None, :, :]
-                store_vec(outs[io + 1], "gw")
-                io += 2
-            if want_shift:
-                store_vec(outs[io], "gc")
-                outs[io + 1][...] = rsum("dr")[None, :, :]
+            # lane-reduce the whole accumulator at once and store ONE fused
+            # [1, K, R] block in `keys` order (acc slot ki[k] == position of
+            # k in `keys`) - no per-key transposes, one XLA gather-back
+            outs[0][0, 0 : len(keys), :] = jnp.sum(acc_ref[...], axis=2)
 
     return kernel
 
@@ -742,18 +725,12 @@ def _invoke_kernel(spec, grid, mpc, cseg, tables, cell_start_k, packed,
     R = prog_rows(mpc)
     maxp = tables.prog_slot.shape[0]
 
-    scalar_shape = jax.ShapeDtypeStruct((maxp, 1, R), jnp.float32)
-    vector_shape = jax.ShapeDtypeStruct((maxp, dims, R), jnp.float32)
-    scalar_spec = pl.BlockSpec((1, 1, R), lambda b, *_: (b, 0, 0))
-    vector_spec = pl.BlockSpec((1, dims, R), lambda b, *_: (b, 0, 0))
-    out_shapes = [scalar_shape, vector_shape]
-    out_specs = [scalar_spec, vector_spec]
-    if want_kernel:
-        out_shapes += [scalar_shape, vector_shape]
-        out_specs += [scalar_spec, vector_spec]
-    if want_shift:
-        out_shapes += [vector_shape, scalar_shape]
-        out_specs += [vector_spec, scalar_spec]
+    # ONE fused output block holding every key's lane-reduced row (sublane
+    # dim padded to 8): a single XLA gather maps all outputs back to
+    # particle order, and the kernel stores one [K, R] tile per program.
+    k_pad = _round_up(n_keys, 8)
+    out_shapes = [jax.ShapeDtypeStruct((maxp, k_pad, R), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, k_pad, R), lambda b, *_: (b, 0, 0))]
 
     # Scalar prefetch: compacted occupied keys, cell_start, and the program
     # list - all 1-D SMEM; per-cell segment metadata is derived with scalar
@@ -797,31 +774,28 @@ def _invoke_kernel(spec, grid, mpc, cseg, tables, cell_start_k, packed,
 
 
 def _gather_back(outs, spec, tables, active, dtype):
-    """Gather per-(cell, chunk) output blocks back to particle order using
-    the rebuild-time indices carried in the tables."""
+    """Gather the fused per-(cell, chunk) output block back to particle
+    order with ONE gather, then slice per key.
+
+    Key layout mirrors the kernel's `keys` list:
+    drho | dvdt_r x D | (w | gw_r x D)? | (gc_r x D | dr)?"""
     want_kernel = spec.kernel_output is KernelOutputMode.STORE
     want_shift = spec.shifting is ShiftingMode.PLANAR
-    live = active
-    prog_idx = tables.prog_idx
-    row_idx = tables.row_idx
 
-    def take(block, vec=False):
-        if vec:
-            g = block[prog_idx, :, row_idx]                   # [N, D]
-            return jnp.where(live[:, None], g, 0).astype(dtype)
-        g = block[prog_idx, 0, row_idx]
-        return jnp.where(live, g, 0).astype(dtype)
+    vals = outs[0][tables.prog_idx, :, tables.row_idx]        # [N, K_pad]
+    vals = jnp.where(active[:, None], vals, 0).astype(dtype)
 
+    D = spec.kernel.dims
     i = 0
-    drho = take(outs[i]); i += 1
-    acc = take(outs[i], vec=True); i += 1
+    drho = vals[:, i]; i += 1
+    acc = vals[:, i : i + D]; i += D
     kw = kg = gc = dr = None
     if want_kernel:
-        kw = take(outs[i]); i += 1
-        kg = take(outs[i], vec=True); i += 1
+        kw = vals[:, i]; i += 1
+        kg = vals[:, i : i + D]; i += D
     if want_shift:
-        gc = take(outs[i], vec=True); i += 1
-        dr = take(outs[i]); i += 1
+        gc = vals[:, i : i + D]; i += D
+        dr = vals[:, i]; i += 1
 
     return SweepOut(
         drhodt=drho, acceleration=acc,

@@ -320,3 +320,89 @@ def test_transient_truncate_and_append(tmp_path):
         # offsets dataset length = sum(ncells_j + 1)
         assert f["VTKHDF"]["Offsets"].shape[0] == 8 + 5 + 2
         assert f["VTKHDF"]["Types"].shape[0] == 13
+
+
+def test_async_saver_ordering_and_errors():
+    """_AsyncSaver preserves snapshot order (single worker) and surfaces
+    worker exceptions on the main thread."""
+    import time as _time
+
+    from sphexample_tpu.core.driver import _AsyncSaver
+
+    seen = []
+
+    def cb(counter, state):
+        _time.sleep(0.01)
+        seen.append(counter)
+
+    s = _AsyncSaver(cb)
+    for c in range(1, 8):
+        s(c, None)
+    s.close()
+    assert seen == list(range(1, 8))
+
+    def boom(counter, state):
+        raise ValueError("disk full")
+
+    s2 = _AsyncSaver(boom)
+    s2(1, None)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="async save failed"):
+        s2.close()
+
+
+def test_async_output_matches_sync(tmp_path):
+    """run_simulation with async_output writes the same VTKHDF bytes as the
+    synchronous path."""
+    import dataclasses
+
+    import h5py
+
+    sim_a = _tiny_sim(str(tmp_path / "a"), async_output=True)
+    sim_b = _tiny_sim(str(tmp_path / "b"), async_output=False)
+
+    for sim in (sim_a, sim_b):
+        out = OutputManager(sim.meta, sim.cfg.spec.kernel, sim.cfg.grid, sim.n_live)
+        run_simulation(sim, save_callback=out.save, max_intervals=3)
+        out.close()
+
+    def snap(path):
+        with h5py.File(path, "r") as f:
+            r = f["VTKHDF"]
+            return (int(r["Steps"].attrs["NSteps"]), np.asarray(r["Points"][...]),
+                    np.asarray(r["PointData"]["Density"][...]))
+
+    na, pa, da = snap(tmp_path / "a" / "Tiny.vtkhdf")
+    nb, pb, db = snap(tmp_path / "b" / "Tiny.vtkhdf")
+    assert na == nb
+    np.testing.assert_array_equal(pa, pb)
+    np.testing.assert_array_equal(da, db)
+
+
+def _tiny_sim(save_location, async_output=True):
+    import dataclasses
+
+    from sphexample_tpu import (DensityDiffusionModel, KernelFamily,
+                                SimulationConstants, SimulationMetaData,
+                                ViscosityModel, assemble_simulation, make_kernel)
+
+    const = SimulationConstants(dx=0.02, c0=40.0, cfl=0.3)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+    dx = const.dx
+    xs, zs = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    fluid = np.stack([xs.ravel() * dx, zs.ravel() * dx + dx], axis=-1)
+    floor_x = np.arange(-3, 11) * dx
+    floor = np.stack([floor_x, np.zeros_like(floor_x)], axis=-1)
+    pos = np.concatenate([floor, fluid])
+    ptype = np.concatenate([np.full(len(floor), 2), np.full(len(fluid), 1)]).astype(np.int32)
+    meta = SimulationMetaData(
+        simulation_name="Tiny", save_location=save_location, dims=2,
+        dtype="float64", simulation_time=0.01, output_times=0.002,
+        grid_margin_cells=4, async_output=async_output,
+    )
+    return assemble_simulation(
+        pos, np.full(len(pos), const.rho0), ptype,
+        np.ones(len(pos), np.int32), np.arange(1, len(pos) + 1),
+        meta, const, kern, ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+    )

@@ -133,3 +133,82 @@ def test_mdbc_no_neighbors_keeps_density():
     )
     out = mdbc_density_correction(spec, grid, 12, sorted_p, cell_start, 1)
     assert float(out[0]) == pytest.approx(990.0)
+
+
+def test_mdbc_pallas_step_plumbing():
+    """A full sph_step with use_pallas (interpret) must route the mDBC
+    correction through the fused moment kernel and match the gather-path
+    step to f32-kernel tolerance."""
+    import dataclasses
+
+    import jax.numpy as _jnp
+
+    from sphexample_tpu import (
+        DensityDiffusionModel as DD,
+        KernelFamily as KF,
+        MDBCMode,
+        SimulationConstants as SC,
+        SimulationMetaData as SM,
+        ViscosityModel as VM,
+        assemble_simulation,
+        make_kernel,
+    )
+    from sphexample_tpu.core.step import sph_step
+
+    const = SC(dx=0.02, c0=40.0, cfl=0.3)
+    kern = make_kernel(KF.WENDLAND_C2, 2, dx=const.dx)
+    dx = const.dx
+    xs, zs = np.meshgrid(np.arange(10), np.arange(10), indexing="ij")
+    fluid = np.stack([xs.ravel() * dx, zs.ravel() * dx + dx], axis=-1)
+    floor_x = np.arange(-4, 14) * dx
+    floor = np.stack([floor_x, np.zeros_like(floor_x)], axis=-1)
+    pos = np.concatenate([floor, fluid])
+    nb = len(floor)
+    ptype = np.concatenate([np.full(nb, 2), np.full(len(fluid), 1)]).astype(np.int32)
+    ghost = floor + np.array([0.0, dx])
+    ghostn = np.tile(np.array([[0.0, dx]]), (nb, 1))
+
+    def build(use_pallas):
+        meta = SM(
+            simulation_name="mp", save_location=".", dims=2, dtype="float64",
+            simulation_time=0.01, output_times=0.002, grid_margin_cells=4,
+            mdbc=MDBCMode.SIMPLE, use_pallas=use_pallas,
+        )
+        sim = assemble_simulation(
+            pos, np.full(len(pos), const.rho0), ptype,
+            np.ones(len(pos), np.int32), np.arange(1, len(pos) + 1),
+            meta, const, kern, VM.ARTIFICIAL, DD.LINEAR,
+            ghost_points=ghost, ghost_normals=ghostn,
+        )
+        if use_pallas:
+            sim.cfg = dataclasses.replace(sim.cfg, pallas_interpret=True)
+        return sim
+
+    sim_p = build(True)
+    sim_g = build(False)
+    assert sim_p.cfg.use_pallas and sim_p.cfg.meta.mdbc is MDBCMode.SIMPLE
+
+    dx0 = _jnp.asarray(1.0 + kern.h, dtype=_jnp.float64)
+    sp, _ = sph_step(sim_p.cfg, sim_p.state, dx0)
+    sg, _ = sph_step(sim_g.cfg, sim_g.state, dx0)
+
+    # compare live particles in ID order (capacities differ: the Pallas
+    # path pads to a 128 multiple)
+    def by_id(state):
+        ids = np.asarray(state.particles.id)
+        order = np.argsort(ids)
+        return order[ids[order] > 0]
+
+    op, og = by_id(sp), by_id(sg)
+    dens_p = np.asarray(sp.particles.density)[op]
+    dens_g = np.asarray(sg.particles.density)[og]
+    # both paths corrected boundary densities (mdbc active)
+    assert (np.abs(dens_g - const.rho0) > 1e-12).any()
+    # f32 Pallas moment kernel vs f64 gather path
+    np.testing.assert_allclose(dens_p, dens_g, rtol=5e-5, atol=1e-6)
+    # the whole Pallas sweep runs f32 while the gather sim is f64: the
+    # acceleration check only guards gross plumbing errors (|a| ~ g)
+    np.testing.assert_allclose(
+        np.asarray(sp.particles.acceleration)[op],
+        np.asarray(sg.particles.acceleration)[og], rtol=1e-3, atol=0.05,
+    )

@@ -148,7 +148,8 @@ def main():
 
     def probe_kernel(mode):
         """Replacement _make_kernel measuring subsets of the real kernel:
-        'gridzero' = scalar prologue + zero outputs (grid + wrapper cost);
+        'launch'   = scalar prologue only (grid pipeline + XLA glue floor);
+        'gridzero' = + zero outputs (adds output-block writes);
         'dma'      = + self/segment DMAs and waits (adds DMA cost)."""
         import jax.numpy as _jnp
         from jax.experimental import pallas as _pl
@@ -163,8 +164,7 @@ def main():
 
             def kernel(occ_keys_ref, cell_start_ref, prog_slot_ref,
                        prog_base_ref, packed_hbm, packedT_hbm,
-                       drho_out, acc_out, *opt):
-                selfT_buf, cand_buf, acc_ref, sem = opt[0:4]
+                       mom_out, selfT_buf, cand_buf, acc_ref, sem):
                 b = _pl.program_id(0)
                 slot = prog_slot_ref[b]
                 key = occ_keys_ref[slot]
@@ -178,8 +178,9 @@ def main():
                 cnt = _jnp.clip(cnt_cell - chunk * R, 0, R)
                 is_live = is_live & (cnt > 0)
 
-                drho_out[...] = _jnp.zeros_like(drho_out)
-                acc_out[...] = _jnp.zeros_like(acc_out)
+                if mode == "launch":
+                    return
+                mom_out[...] = _jnp.zeros_like(mom_out)
                 if mode == "gridzero":
                     return
 
@@ -237,7 +238,7 @@ def main():
 
         return factory
 
-    for mode in ("gridzero", "dma"):
+    for mode in ("launch", "gridzero", "dma"):
         if mode in which:
             real_mk = ps._make_kernel
             ps._make_kernel = probe_kernel(mode)
