@@ -494,7 +494,6 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
             keys += ["w"] + [f"gw{r}" for r in range(dims)]
         if want_shift:
             keys += [f"gc{r}" for r in range(dims)] + ["dr"]
-        ki = {k: i for i, k in enumerate(keys)}
 
         # dead occupied-slots (and the tail beyond the live cell count) skip
         # all DMAs and compute; their output blocks are never gathered.
