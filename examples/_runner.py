@@ -24,6 +24,12 @@ def standard_argparser(default_save: str) -> argparse.ArgumentParser:
                          "transient VTKHDF files in place")
     ap.add_argument("--kernel-output", action="store_true",
                     help="store per-particle kernel sums (StoreKernelOutput mode)")
+    ap.add_argument("--output-variables", default=None, metavar="A,B,...",
+                    help="comma-separated subset of the output variables "
+                         "(default: all 13, reference parity; positions are "
+                         "always written).  Long runs over the tunneled link "
+                         "are IO-bound; e.g. Velocity,Density,Pressure,Type,"
+                         "ID roughly halves the per-snapshot bytes")
     return ap
 
 
@@ -50,6 +56,14 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
     from sphexample_tpu.io.paraview import write_paraview_state
     from sphexample_tpu.io.vtkhdf import clean_simulation_folder
     from sphexample_tpu.utils.logger import SimulationLogger
+
+    ov = getattr(args, "output_variables", None)
+    if ov:
+        import dataclasses
+
+        meta = dataclasses.replace(
+            meta, output_variables=tuple(v.strip() for v in ov.split(","))
+        )
 
     resume_path = getattr(args, "resume", None)
     if not resume_path:
