@@ -64,6 +64,11 @@ def prog_rows(mpc: int) -> int:
 # work) vs compute them masked.  Measured on-chip per kernel change.
 PREDICATE_CHUNKS = True
 
+# Candidate chunk width in lanes (multiple of 128).  256 halves the
+# per-chunk fixed overhead (branch + scalar bookkeeping, ~50 cycles/chunk)
+# for ~18% more masked lanes at typical segment fill - measured on-chip.
+CHUNK_W = 256
+
 
 def pack_fields(position, velocity, density, pressure, ml):
     """Packed sweep fields, twice: ``[F_pad, N]`` (lane-major, for candidate
@@ -538,9 +543,11 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                 )
 
             def seg_dma(s):
+                # the buffer's lane dim is cwin rounded up to CHUNK_W; the
+                # tail past cwin is never DMA'd and always lane-masked
                 return pltpu.make_async_copy(
                     packed_hbm.at[:, pl.ds(seg_rs_al[s], cwin)],
-                    cand_buf.at[s], sem.at[1 + s],
+                    cand_buf.at[s, :, pl.ds(0, cwin)], sem.at[1 + s],
                 )
 
             # launch ALL segment DMAs up front: the per-DMA latency (~us)
@@ -570,8 +577,8 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
 
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-            NLW = cwin // 128
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK_W), 1)
+            NLW = -(-cwin // CHUNK_W)
 
             for s in range(S):
                 @pl.when(seg_re[s] > seg_rs[s])  # skip empty segments
@@ -586,7 +593,7 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                     # are proportional to the masked g, so foreign lanes
                     # contribute exact zeros.
                     def chunk_body(kc):
-                        lo = kc * 128
+                        lo = kc * CHUNK_W
                         idx_j = (seg_rs_al[s] + lo) + lane_ids     # [1, 128]
                         lane_valid = (idx_j >= seg_rs[s]) & (idx_j < seg_re[s])
                         within = self_valid & lane_valid
@@ -606,7 +613,7 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                         same_cell = (idx_j >= s0_cell) & (idx_j < cell_end)
                         i_is_role_i = ~(same_cell ^ (idx_i < idx_j))
                         cand_f = [
-                            cand_buf[s][f : f + 1, lo : lo + 128]
+                            cand_buf[s][f : f + 1, lo : lo + CHUNK_W]
                             for f in range(nfields)
                         ]
                         terms = _pair_math(
@@ -627,7 +634,7 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                     chunk_body(0)
                     for kc in range(1, NLW):
                         if PREDICATE_CHUNKS:
-                            pl.when(seg_re[s] > seg_rs_al[s] + kc * 128)(
+                            pl.when(seg_re[s] > seg_rs_al[s] + kc * CHUNK_W)(
                                 functools.partial(chunk_body, kc)
                             )
                         else:
@@ -750,8 +757,9 @@ def _invoke_kernel(spec, grid, mpc, cseg, tables, cell_start_k, packed,
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((R + 8, 128), jnp.float32),
-            pltpu.VMEM((S, nfields_pad, cseg + 128), jnp.float32),
-            pltpu.VMEM((n_keys, R, 128), jnp.float32),
+            pltpu.VMEM((S, nfields_pad, _round_up(cseg + 128, CHUNK_W)),
+                       jnp.float32),
+            pltpu.VMEM((n_keys, R, CHUNK_W), jnp.float32),
             pltpu.SemaphoreType.DMA((1 + S,)),
         ],
     )

@@ -224,14 +224,16 @@ def main():
                         def _():
                             _pltpu.make_async_copy(
                                 packed_hbm.at[:, _pl.ds(seg_al[s], cwin)],
-                                cand_buf.at[s], sem.at[1 + s]).start()
+                                cand_buf.at[s, :, _pl.ds(0, cwin)],
+                                sem.at[1 + s]).start()
                     cp.wait()
                     for s in range(S):
                         @_pl.when(seg_re[s] > seg_rs[s])
                         def _w():
                             _pltpu.make_async_copy(
                                 packed_hbm.at[:, _pl.ds(seg_al[s], cwin)],
-                                cand_buf.at[s], sem.at[1 + s]).wait()
+                                cand_buf.at[s, :, _pl.ds(0, cwin)],
+                                sem.at[1 + s]).wait()
                             acc_ref[0, :, :] += cand_buf[s][0:1, 0:128]
 
             return kernel
