@@ -406,3 +406,44 @@ def _tiny_sim(save_location, async_output=True):
         np.ones(len(pos), np.int32), np.arange(1, len(pos) + 1),
         meta, const, kern, ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
     )
+
+
+def test_auto_retune_pallas_tables(tmp_path):
+    """Retune under the Pallas path must re-init the program tables to the
+    grown window shapes (they are shaped by maxc/mpc/capacity) and replay."""
+    import dataclasses
+
+    import numpy as np
+
+    from sphexample_tpu import run_simulation as run_sim
+
+    rng = np.random.default_rng(3)
+    const = SimulationConstants(dx=0.02, c0=40.0, cfl=0.3)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+    # a compact blob that compresses under self-gravity-free pressure:
+    # undersize the windows so the first interval overflows
+    pos = rng.uniform(0, 0.25, size=(400, 2))
+    meta = SimulationMetaData(
+        simulation_name="rtp", save_location=str(tmp_path), dims=2,
+        simulation_time=0.02, output_times=0.01, max_per_cell=8,
+        block_size=64, dtype="float64", use_pallas=True,
+    )
+    sim = assemble_simulation(
+        pos, np.full(400, const.rho0), np.ones(400, np.int32),
+        np.ones(400, np.int32), np.arange(1, 401),
+        meta, const, kern, ViscosityModel.ARTIFICIAL, DensityDiffusionModel.ZERO,
+    )
+    sim.cfg = dataclasses.replace(sim.cfg, pallas_interpret=True)
+    from sphexample_tpu.core.step import make_interval_fn
+
+    sim.interval_fn = make_interval_fn(sim.cfg)
+    mpc0, maxp0 = sim.cfg.mpc, sim.state.pallas_tables.prog_slot.shape[0]
+
+    sim = run_sim(sim, max_intervals=2)
+    assert sim.cfg.mpc > mpc0, "expected a retune to fire"
+    # tables re-initialized to the new shapes and refreshed by the replay
+    assert sim.state.pallas_tables.prog_slot.shape[0] != maxp0 or \
+        sim.cfg.maxc != 0
+    assert int(sim.state.pallas_tables.nprog) > 0
+    assert float(sim.state.total_time) > 0.02 - 1e-9
+    assert np.isfinite(np.asarray(sim.state.particles.density)).all()
