@@ -5,7 +5,11 @@ multicore CPU for this case to t_end=1.6 s; at its dt (~9e-5 s -> ~18k steps
 over ~150k particles) that is ~3e4 particle-steps/s.  North-star target:
 1e8 particle-steps/s on one TPU v5e chip.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "vs_target",
+"scale_check"} - ``vs_baseline`` is vs the reference CPU estimate,
+``vs_target`` is value/1e8 (the driver's stated bar), and ``scale_check``
+carries the 430k-particle (--dx 0.006) rate measured in the same invocation
+so the scale evidence lives in the artifact, not in prose.
 """
 
 import argparse
@@ -16,24 +20,10 @@ import time
 import numpy as np
 
 REFERENCE_CPU_PSTEPS = 3.1e4  # "1+ day" baseline, see BASELINE.md
+TARGET_PSTEPS = 1e8           # driver north-star (BASELINE.md)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--case", choices=["dambreak3d", "dambreak2d"], default="dambreak3d")
-    ap.add_argument("--dx", type=float, default=None)
-    ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--block-size", type=int, default=512)
-    ap.add_argument("--pallas", action="store_true", default=None)
-    ap.add_argument("--no-pallas", dest="pallas", action="store_false")
-    args = ap.parse_args()
-
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+def run_case(args, case, dx_arg):
     import jax
 
     from sphexample_tpu import (
@@ -52,23 +42,23 @@ def main():
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
-    if args.case == "dambreak3d":
+    if case == "dambreak3d":
         # reference example/Dambreak3d.jl constants
-        dx = args.dx or 0.0085
+        dx = dx_arg or 0.0085
         dims = 3
         const = SimulationConstants(dx=dx, c0=33.14, alpha=0.1, m0=1000 * dx**3, cfl=0.2)
         kern = make_kernel(KernelFamily.WENDLAND_C2, 3, h=float(np.sqrt(3 * dx**2)))
         pos, dens, ptype, grp, idp = dam_break_3d(dx)
     else:
         # reference example/Dambreak2dMDBC.jl constants (no mDBC in the bench)
-        dx = args.dx or 0.01
+        dx = dx_arg or 0.01
         dims = 2
         const = SimulationConstants(dx=dx, c0=88.14487860902641, cfl=0.5, alpha=0.01)
         kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=dx)
         pos, dens, ptype, grp, idp = dam_break_2d(dx)
 
     meta = SimulationMetaData(
-        simulation_name=f"bench_{args.case}",
+        simulation_name=f"bench_{case}",
         save_location="out/bench",
         dims=dims,
         dtype=args.dtype,
@@ -102,21 +92,62 @@ def main():
 
     psteps = n * args.steps / elapsed
     print(
-        json.dumps(
-            {
-                "metric": f"particle_steps_per_sec_{args.case}_dp{dx}_n{n}",
-                "value": round(psteps, 1),
-                "unit": "particle-steps/s",
-                "vs_baseline": round(psteps / REFERENCE_CPU_PSTEPS, 2),
-            }
-        )
-    )
-    print(
-        f"# n={n} steps={args.steps} elapsed={elapsed:.3f}s backend={jax.default_backend()} "
-        f"dtype={args.dtype} block={args.block_size} pallas={use_pallas} "
+        f"# case={case} dx={dx} n={n} steps={args.steps} elapsed={elapsed:.3f}s "
+        f"backend={jax.default_backend()} dtype={args.dtype} "
+        f"block={args.block_size} pallas={use_pallas} "
         f"t_sim={float(state3.total_time):.4f}s dt={float(state3.current_dt):.2e}",
         file=sys.stderr,
     )
+    return dx, n, psteps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", choices=["dambreak3d", "dambreak2d"], default="dambreak3d")
+    ap.add_argument("--dx", type=float, default=None)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--block-size", type=int, default=512)
+    ap.add_argument("--pallas", action="store_true", default=None)
+    ap.add_argument("--no-pallas", dest="pallas", action="store_false")
+    ap.add_argument("--scale-dx", type=float, default=0.006,
+                    help="second measurement at this dx (~430k particles); "
+                         "0 disables it")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax  # noqa: F811
+
+    dx, n, psteps = run_case(args, args.case, args.dx)
+    record = {
+        "metric": f"particle_steps_per_sec_{args.case}_dp{dx}_n{n}",
+        "value": round(psteps, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(psteps / REFERENCE_CPU_PSTEPS, 2),
+        "vs_target": round(psteps / TARGET_PSTEPS, 4),
+    }
+    # scale evidence: same invocation, bigger N (skipped off-TPU / on request)
+    if (
+        args.scale_dx
+        and args.case == "dambreak3d"
+        and args.dx is None
+        and jax.default_backend() == "tpu"
+    ):
+        try:
+            sdx, sn, spsteps = run_case(args, args.case, args.scale_dx)
+            record["scale_check"] = {
+                "dx": sdx,
+                "n": sn,
+                "value": round(spsteps, 1),
+                "rel_to_headline": round(spsteps / psteps, 3),
+            }
+        except Exception as e:  # noqa: BLE001 - evidence, not the metric
+            record["scale_check"] = {"error": repr(e)[:200]}
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

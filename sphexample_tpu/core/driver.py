@@ -99,9 +99,14 @@ def assemble_simulation(
         cseg = -(-(int(seg0 * 1.25) + 2) // 128) * 128
         mpc = mpc_pad
         # tail padding keeps the kernel's aligned self-window clamp from
-        # ever binding on a live cell; capacity must be a 128 multiple
+        # ever binding on a live cell; capacity must be a 128 multiple and
+        # cover the CHUNK_W-rounded candidate DMA window
         # (see ops/pallas_sweep.py)
-        capacity = max(capacity or 0, n + 256, cseg + 128)
+        from ..ops.pallas_sweep import CHUNK_W
+
+        capacity = max(
+            capacity or 0, n + 256, -(-(cseg + 128) // CHUNK_W) * CHUNK_W
+        )
         capacity = -(-capacity // 128) * 128
     else:
         mpc_pad = mpc
@@ -266,7 +271,13 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
         mpc = -(-(int(occ * 2.0) + 2) // 8) * 8
         cseg = -(-(int(max(seg, 3 * occ) * 1.5) + 2) // 128) * 128
         maxc = min(cfg.grid.ncells, ncc * 2 + 256)
-        new_cap = max(prev_state.particles.capacity, cseg + 128, sim.n_live + 256)
+        from ..ops.pallas_sweep import CHUNK_W
+
+        new_cap = max(
+            prev_state.particles.capacity,
+            -(-(cseg + 128) // CHUNK_W) * CHUNK_W,
+            sim.n_live + 256,
+        )
         new_cap = -(-new_cap // 128) * 128
         prev_state = pad_capacity(prev_state, new_cap)
         new_cfg = _dc.replace(cfg, mpc=mpc, cseg=cseg, maxc=max(maxc, cfg.maxc))
@@ -370,8 +381,15 @@ class _AsyncSaver:
         self._q.put((counter, state))
 
     def close(self):
-        self._q.put(None)
-        self._t.join()
+        # after a worker exception the thread has exited without draining:
+        # an unconditional blocking put on the bounded queue would turn a
+        # save failure into a hang (advisor finding, round 2)
+        if self._err is None:
+            try:
+                self._q.put(None, timeout=60.0)
+            except Exception:
+                pass
+        self._t.join(timeout=300.0)
         if self._err is not None:
             raise RuntimeError("async save failed") from self._err
 

@@ -493,7 +493,14 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
         x_lo = jnp.clip(rel[0] - 1, 0, gshape[0] - 1)
         x_hi = jnp.clip(rel[0] + 1, 0, gshape[0] - 1)
 
-        cwin = cseg + 128  # aligned candidate window
+        # Aligned candidate window, rounded up to CHUNK_W so the DMA fills
+        # EVERY lane of the scratch buffer: with a cseg+128 window and
+        # cseg % CHUNK_W == 0 the last chunk would read never-written VMEM
+        # lanes whose garbage can be Inf/NaN - the g-select masks to 0 but
+        # g_vx = g * v_dot_x then yields 0 * NaN = NaN (advisor finding,
+        # round 2).  DMA cost is latency-bound, not bytes (measured), so the
+        # extra <=128 lanes are free.
+        cwin = -(-(cseg + 128) // CHUNK_W) * CHUNK_W
         keys = ["drho"] + [f"dvdt{r}" for r in range(dims)]
         if want_kernel:
             keys += ["w"] + [f"gw{r}" for r in range(dims)]
@@ -543,11 +550,10 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                 )
 
             def seg_dma(s):
-                # the buffer's lane dim is cwin rounded up to CHUNK_W; the
-                # tail past cwin is never DMA'd and always lane-masked
+                # cwin == the buffer's full lane dim: no unwritten tail lanes
                 return pltpu.make_async_copy(
                     packed_hbm.at[:, pl.ds(seg_rs_al[s], cwin)],
-                    cand_buf.at[s, :, pl.ds(0, cwin)], sem.at[1 + s],
+                    cand_buf.at[s], sem.at[1 + s],
                 )
 
             # launch ALL segment DMAs up front: the per-DMA latency (~us)
@@ -678,10 +684,11 @@ def pallas_pair_sweep(
     """
     dims = position.shape[1]
     n = position.shape[0]
-    if n % 128 != 0 or n < cseg + 128:
+    cwin_pad = _round_up(cseg + 128, CHUNK_W)
+    if n % 128 != 0 or n < cwin_pad:
         raise ValueError(
             f"particle capacity {n} must be a multiple of 128 and >= the DMA "
-            f"window (cseg+128={cseg + 128}); pad the capacity"
+            f"window ({cwin_pad}); pad the capacity"
         )
     if mpc % 8 != 0:
         raise ValueError(f"mpc={mpc} must be a multiple of 8")
@@ -785,7 +792,13 @@ def _gather_back(outs, spec, tables, active, dtype):
     order with ONE gather, then slice per key.
 
     Key layout mirrors the kernel's `keys` list:
-    drho | dvdt_r x D | (w | gw_r x D)? | (gc_r x D | dr)?"""
+    drho | dvdt_r x D | (w | gw_r x D)? | (gc_r x D | dr)?
+
+    CONTRACT: dead programs (and the k_pad padding rows of live programs)
+    never write their ``mom_out`` block, so this gather can read
+    uninitialized HBM for inactive particle rows - every value MUST pass
+    through the ``active`` mask below (it does) and no consumer may reduce
+    over the raw gathered block (e.g. a global sum) without masking first."""
     want_kernel = spec.kernel_output is KernelOutputMode.STORE
     want_shift = spec.shifting is ShiftingMode.PLANAR
 
@@ -855,10 +868,10 @@ def pallas_pair_sweep_sharded(
         raise ValueError(f"local capacity {C} and halo {H} must be multiples of 128")
     dims = position.shape[1]
     n_ext = C + 2 * H
-    if n_ext < cseg + 128:
+    if n_ext < _round_up(cseg + 128, CHUNK_W):
         raise ValueError(
             f"extended window {n_ext} smaller than the candidate DMA window "
-            f"{cseg + 128}; raise the halo or capacity"
+            f"{_round_up(cseg + 128, CHUNK_W)}; raise the halo or capacity"
         )
     if mpc % 8 != 0 or cseg % 128 != 0:
         raise ValueError("mpc must be a multiple of 8 and cseg of 128")

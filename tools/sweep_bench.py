@@ -191,7 +191,7 @@ def main():
                     rem_k = rem_k // gshape[d_i]
                 x_lo = _jnp.clip(rel[0] - 1, 0, gshape[0] - 1)
                 x_hi = _jnp.clip(rel[0] + 1, 0, gshape[0] - 1)
-                cwin = cseg + 128
+                cwin = -(-(cseg + 128) // ps.CHUNK_W) * ps.CHUNK_W
 
                 @_pl.when(is_live)
                 def _body():
