@@ -51,7 +51,7 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
     the ``geoms`` CSV list when the reference input CSVs are unavailable."""
     from sphexample_tpu import (assemble_simulation, build_simulation,
                                 run_simulation)
-    from sphexample_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from sphexample_tpu.io.checkpoint import resume_simulation, save_checkpoint
     from sphexample_tpu.io.output import OutputManager
     from sphexample_tpu.io.paraview import write_paraview_state
     from sphexample_tpu.io.vtkhdf import clean_simulation_folder
@@ -78,7 +78,7 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
 
     start_counter = 1
     if resume_path:
-        sim.state, start_counter = load_checkpoint(resume_path, sim.state)
+        sim, start_counter = resume_simulation(sim, resume_path)
 
     # LogMode axis (reference SimulationMetaDataConfiguration.jl:12-33):
     # NONE disables the log file entirely - zero logger work, like the
@@ -106,7 +106,8 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
         out.save(counter, state)
         if args.checkpoint_every and counter % args.checkpoint_every == 0:
             save_checkpoint(
-                os.path.join(meta.save_location, "checkpoint.npz"), state, counter
+                os.path.join(meta.save_location, "checkpoint.npz"), state,
+                counter, cfg=sim.cfg,
             )
 
     timesteps = []

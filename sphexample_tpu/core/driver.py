@@ -255,13 +255,42 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
     ncc = int(failed_state.occupied_cells)
     cfg = sim.cfg
     if cfg.ctx.is_sharded:
-        raise RuntimeError(
-            "neighbor windows outgrew their budgets under a sharded run "
-            f"(occ {occ}, seg {seg}, cells {ncc}, halo "
-            f"{int(failed_state.max_halo)}/{cfg.halo}); auto-retune cannot "
-            "re-shard - rebuild the simulation with larger max_per_cell / "
-            "halo and re-shard"
+        # pull the pre-interval state to host, grow the windows AND the halo,
+        # re-shard over the same mesh, and replay - the sharded analog of the
+        # single-chip replay below (a long sharded run whose occupancy or
+        # halo outgrows the initial sizing used to die with a RuntimeError).
+        import sys
+
+        from ..parallel.context import SINGLE
+        from ..parallel.mesh import make_mesh, shard_simulation
+
+        ndev = cfg.ctx.num_devices
+        halo_need = int(failed_state.max_halo)
+        mpc = -(-(int(occ * 2.0) + 2) // 8) * 8 if cfg.use_pallas else cfg.mpc
+        mpc = max(mpc, cfg.mpc)
+        cseg = max(
+            -(-(int(max(seg, 3 * occ) * 1.5) + 2) // 128) * 128, cfg.cseg
         )
+        maxc = max(min(cfg.grid.ncells, ncc * 2 + 256), cfg.maxc)
+        min_halo = -(-max(halo_need * 2, cfg.halo) // 128) * 128 + 128
+
+        host_state = jax.device_get(prev_state)
+        single_cfg = _dc.replace(
+            cfg, mpc=mpc, cseg=cseg, maxc=maxc, ctx=SINGLE, halo=0
+        )
+        base = Simulation(
+            cfg=single_cfg, state=host_state, meta=sim.meta, n_live=sim.n_live
+        )
+        print(
+            f"[sphexample_tpu] sharded neighbor windows outgrown (occ {occ}, "
+            f"seg {seg}, cells {ncc}, halo {halo_need}/{cfg.halo}); retuning "
+            f"mpc {cfg.mpc}->{mpc}, cseg {cfg.cseg}->{cseg}, maxc "
+            f"{cfg.maxc}->{maxc}, halo >= {min_halo}, re-sharding over "
+            f"{ndev} devices and replaying the interval",
+            file=sys.stderr,
+        )
+        new_sim = shard_simulation(base, make_mesh(ndev), min_halo=min_halo)
+        return new_sim, new_sim.state
 
     if cfg.use_pallas:
         # a retune fires while occupancy is still climbing (dam-break impact
@@ -449,7 +478,12 @@ def run_simulation(
                 if not auto_retune:
                     raise RuntimeError(overflow)
                 with hourglass.section("02b Retune neighbor windows"):
-                    sim, state = _retune(sim, prev_state, state)
+                    new_sim, state = _retune(sim, prev_state, state)
+                    # mutate the caller's Simulation in place so external
+                    # references (checkpoint callbacks) see the grown windows
+                    sim.cfg = new_sim.cfg
+                    sim.state = new_sim.state
+                    sim.interval_fn = new_sim.interval_fn
                     sim.hourglass = hourglass
                 continue  # replay the same interval with bigger windows
 

@@ -126,7 +126,15 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     pallas_halo = cfg.use_pallas and ctx.is_sharded and cfg.halo > 0
 
     def do_rebuild(p_in):
-        sorted_p, cell_start, occ = cl.rebuild(p_in, kern.H_inv, cfg.grid, ctx)
+        if pallas_halo:
+            # distributed rebuild: local stable sort + 1-hop row migration -
+            # no global gather, no replicated argsort (O(C + halo) peak)
+            sorted_p, cell_start, occ, migration = cl.rebuild_sharded(
+                p_in, kern.H_inv, cfg.grid, ctx, cfg.halo
+            )
+        else:
+            sorted_p, cell_start, occ = cl.rebuild(p_in, kern.H_inv, cfg.grid, ctx)
+            migration = jnp.zeros((), jnp.int32)
         cap = sorted_p.capacity
         base = ctx.rank() * cap
         nblk = (base + jnp.arange(cap, dtype=jnp.int32)) // cfg.block_size
@@ -156,8 +164,29 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
             live_seg = sorted_p.active[:, None] & (ends > starts)
             lneed = jnp.max(jnp.where(live_seg, base - starts, 0))
             rneed = jnp.max(jnp.where(live_seg, ends - (base + cap), 0))
+            need = jnp.maximum(jnp.maximum(lneed, rneed), 0)
+            if meta.mdbc is MDBCMode.SIMPLE:
+                # the sharded mDBC kernel reads its ghost-point stencils from
+                # the same halo: ghost windows can reach ~one cell further
+                # than the particle's own (ghost = particle + normal), so
+                # their reach rides the telemetry too
+                gp_pts = sorted_p.ghost_points
+                has_g = jnp.any(gp_pts != 0, axis=-1) & sorted_p.active
+                g_coords = cl.clamp_coords(
+                    cl.cell_coords(gp_pts, kern.H_inv), cfg.grid
+                )
+                gs, ge = cl.row_segments(g_coords, cfg.grid, cell_start)
+                live_g = has_g[:, None] & (ge > gs)
+                need = jnp.maximum(
+                    need, jnp.max(jnp.where(live_g, base - gs, 0))
+                )
+                need = jnp.maximum(
+                    need, jnp.max(jnp.where(live_g, ge - (base + cap), 0))
+                )
+            # the migration count of the distributed rebuild rides the same
+            # telemetry: both must stay within the sized halo
             halo_need = ctx.pmax(
-                jnp.maximum(jnp.maximum(lneed, rneed), 0)
+                jnp.maximum(need, migration)
             ).astype(jnp.int32)
         else:
             tables = state.pallas_tables
@@ -186,20 +215,32 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     # densities with pre-correction pressures, as the reference does).
     p = p.replace(pressure=eq.pressure(p.density, c))
 
-    # 04 - mDBC (fused Pallas moment kernel on the single-chip path; the
-    # gather loop under shard_map)
+    # 04 - mDBC: fused Pallas moment kernel single-chip AND on the sharded
+    # halo path (1-hop exchange of the three mDBC fields - no per-step
+    # all-gather); the gather loop only under the all-gather fallback
     if meta.mdbc is MDBCMode.SIMPLE:
-        p = p.replace(
-            density=mdbc_density_correction(
-                spec, cfg.grid, cfg.cseg, p, cell_start, cfg.boundary_capacity,
-                global_position=ctx.gather(p.position),
-                global_density=ctx.gather(p.density),
-                global_ptype=ctx.gather(p.ptype),
-                use_pallas=pallas_single,
-                mpc=cfg.mpc,
-                pallas_interpret=cfg.pallas_interpret,
+        if pallas_halo:
+            from ..ops.mdbc import mdbc_density_correction_sharded
+
+            p = p.replace(
+                density=mdbc_density_correction_sharded(
+                    spec, cfg.grid, cfg.cseg, p, cell_start,
+                    cfg.boundary_capacity, ctx, cfg.halo, cfg.mpc,
+                    pallas_interpret=cfg.pallas_interpret,
+                )
             )
-        )
+        else:
+            p = p.replace(
+                density=mdbc_density_correction(
+                    spec, cfg.grid, cfg.cseg, p, cell_start, cfg.boundary_capacity,
+                    global_position=ctx.gather(p.position),
+                    global_density=ctx.gather(p.density),
+                    global_ptype=ctx.gather(p.ptype),
+                    use_pallas=pallas_single,
+                    mpc=cfg.mpc,
+                    pallas_interpret=cfg.pallas_interpret,
+                )
+            )
 
     idx_base = ctx.rank() * p.capacity
 

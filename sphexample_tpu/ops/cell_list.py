@@ -182,6 +182,113 @@ def rebuild(particles: Particles, inv_cutoff, grid: Grid, ctx=None):
     return sorted_parts, cell_start, jnp.max(occ).astype(jnp.int32)
 
 
+def rebuild_sharded(particles: Particles, inv_cutoff, grid: Grid, ctx,
+                    halo: int):
+    """Distributed rebuild under ``shard_map``: local stable sort + 1-hop
+    row migration - per-device peak memory O(C + halo + ndev * ncells), no
+    global gather and no replicated argsort.
+
+    Replaces the reference's whole-array ``sort!``
+    (``src/SPHCellList.jl:138-163``) for the sharded path, and the
+    replicated-argsort :func:`rebuild` for slab counts beyond one chip.
+
+    Why only one hop: between lazy rebuilds every particle moves less than
+    ``h`` in space (the displacement-accumulator rule), so at rebuild time a
+    particle's key changes to at most a neighboring cell and its *global
+    sorted position* moves by less than the same sorted-row reach that
+    bounds the sweep's halo (``max_halo`` telemetry guards both).  The new
+    global position of every locally held row is computable without any
+    gather:
+
+        g = cell_start[key] + prefix_rank[key] + local_rank
+
+    because previous slabs are disjoint ordered ranges, so the stable
+    tie-break (previous global index) orders rows of equal key by device
+    rank first - ``prefix_rank`` is the exclusive over-devices prefix of
+    per-key counts (one all-gather of the count vector).  ``g`` is strictly
+    increasing along the local sorted order, so the rows that migrate are
+    exactly a head slice (to rank-1) and a tail slice (to rank+1) - two
+    ppermutes of ``halo``-row packs.
+
+    Returns (slab particles in global cell-sorted order, global
+    ``cell_start`` [ncells+2], max occupancy, migration_need) where
+    ``migration_need`` is the largest head/tail slice any device needed -
+    must stay <= ``halo`` (telemetry-guarded like the sweep halo).
+    """
+    C = particles.capacity
+    ncells = grid.ncells
+    rank = ctx.rank()
+    base = rank * C
+
+    coords = clamp_coords(cell_coords(particles.position, inv_cutoff), grid)
+    keys = linearize(coords, grid)
+    keys = jnp.where(particles.active, keys, grid.parking_key)
+
+    order = jnp.argsort(keys, stable=True)
+    skeys = jnp.take(keys, order, axis=0)
+
+    # per-key counts from the sorted keys (no scatter): counts[k] =
+    # local_start[k+1] - local_start[k]
+    edges = jnp.arange(ncells + 2, dtype=skeys.dtype)
+    local_start = jnp.searchsorted(skeys, edges, side="left").astype(jnp.int32)
+    counts_loc = local_start[1:] - local_start[:-1]                # [ncells+1]
+
+    counts_all = jax.lax.all_gather(counts_loc, ctx.axis, axis=0)  # [ndev, nc+1]
+    ndev = ctx.num_devices
+    before = (jnp.arange(ndev, dtype=jnp.int32) < rank)[:, None]
+    prefix = jnp.sum(counts_all * before, axis=0, dtype=jnp.int32)  # [nc+1]
+    counts_glob = jnp.sum(counts_all, axis=0, dtype=jnp.int32)
+    cell_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_glob)]
+    ).astype(jnp.int32)                                            # [ncells+2]
+
+    # global sorted position of every locally sorted row
+    lrank = jnp.arange(C, dtype=jnp.int32) - local_start[skeys]
+    g = cell_start[skeys] + prefix[skeys] + lrank                  # [C], increasing
+
+    sorted_parts = particles.permute(order)
+    sorted_parts = sorted_parts.replace(cell=jnp.take(coords, order, axis=0))
+
+    # migration: head rows go to rank-1, tail rows to rank+1 (g increasing)
+    n_left = jnp.sum(g < base).astype(jnp.int32)
+    n_right = jnp.sum(g >= base + C).astype(jnp.int32)
+    migration_need = ctx.pmax(jnp.maximum(n_left, n_right))
+
+    H = halo
+    fwd = [(i, i + 1) for i in range(ndev - 1)]
+    bwd = [(i + 1, i) for i in range(ndev - 1)]
+    head = jax.tree.map(lambda a: a[:H], sorted_parts)
+    tail = jax.tree.map(lambda a: a[C - H:], sorted_parts)
+    # g is encoded +1 so the zero-fill edge devices receive decodes invalid
+    idx = jnp.arange(H, dtype=jnp.int32)
+    head_g = jnp.where(idx < n_left, g[:H] + 1, 0)
+    tail_g = jnp.where(idx >= H - n_right, g[C - H:] + 1, 0)
+    recv_r = jax.tree.map(
+        lambda a: jax.lax.ppermute(a, ctx.axis, fwd), (tail, tail_g)
+    )
+    recv_l = jax.tree.map(
+        lambda a: jax.lax.ppermute(a, ctx.axis, bwd), (head, head_g)
+    )
+
+    big = jnp.int32(2 ** 30)
+    g_mine = jnp.where((g >= base) & (g < base + C), g, big)
+    g_from_l = jnp.where(recv_r[1] > 0, recv_r[1] - 1, big)
+    g_from_r = jnp.where(recv_l[1] > 0, recv_l[1] - 1, big)
+    g_cat = jnp.concatenate([g_mine, g_from_l, g_from_r])          # [C + 2H]
+    # exactly C rows carry g in [base, base+C) (global positions partition);
+    # everything else sorts past them
+    take = jnp.argsort(g_cat)[:C]
+    merged = jax.tree.map(
+        lambda a, bl, br: jnp.take(
+            jnp.concatenate([a, bl, br], axis=0), take, axis=0
+        ),
+        sorted_parts, recv_r[0], recv_l[0],
+    )
+
+    occ = cell_start[1 : ncells + 1] - cell_start[:ncells]
+    return merged, cell_start, jnp.max(occ).astype(jnp.int32), migration_need
+
+
 def stencil_rows(dims: int) -> np.ndarray:
     """Static row offsets over dims 1..D-1 (all of {-1,0,1}^(D-1)): each row,
     combined with the contiguous x-span [-1, +1], covers 3 cells of the full

@@ -121,9 +121,7 @@ def mdbc_density_correction(
     if use_pallas:
         # fused cell kernel for the moment accumulation (the gather loop
         # below is the mdbc analog of the slow XLA sweep); fluid-only test
-        # rides the motion-limiter field (ml == 1 <=> FLUID).  Single-chip
-        # only: the local cell-sorted arrays ARE the global ones (the caller
-        # dispatches the gather path under shard_map).
+        # rides the motion-limiter field (ml == 1 <=> FLUID).
         from .pallas_mdbc import pallas_mdbc_moments
 
         bvec, Amat = pallas_mdbc_moments(
@@ -176,6 +174,72 @@ def mdbc_density_correction(
 
     bs = min(1024, bidx.shape[0])
     bvec, Amat = jax.lax.map(ghost_fn, (gpoint, gcoords, bvalid), batch_size=bs)
+    return _mdbc_apply(spec, particles, bidx, bvalid, gpoint, bvec, Amat)
+
+
+def mdbc_density_correction_sharded(
+    spec,
+    grid: Grid,
+    cseg: int,
+    particles,            # LOCAL slab Particles
+    cell_start,           # [ncells+2] GLOBAL sorted rows (replicated)
+    boundary_capacity: int,
+    ctx,                  # sharded CommContext (inside shard_map)
+    halo: int,
+    mpc: int,
+    pallas_interpret: bool = False,
+):
+    """Per-device fused mDBC on the halo path - no per-step all-gather.
+
+    Ghost-carrying boundary particles are slab-resident and their ghost
+    points sit within ~one cell of the particle, so every candidate window
+    of a ghost stencil lives inside the same 1-hop halo the sweeps already
+    exchange (the rebuild telemetry includes the ghost-window reach, see
+    core/step.py).  Each device: ppermutes the 1-hop halos of the three
+    mDBC fields (position, density, motion limiter), rebases ``cell_start``
+    to extended-local coordinates, and runs the unchanged fused moment
+    kernel (``ops/pallas_mdbc.py``) on its local ghosts.  Replaces the
+    all-gathered ghost loop for the reference path
+    ``src/SPHCellList.jl:219-266``.
+    """
+    from .pallas_mdbc import pallas_mdbc_moments
+
+    C = particles.capacity
+    H = halo
+    dims = particles.position.shape[1]
+    if C % 128 != 0 or H % 128 != 0:
+        raise ValueError(f"local capacity {C} and halo {H} must be multiples of 128")
+
+    ghost = particles.ghost_points
+    has_ghost = jnp.any(ghost != 0, axis=-1) & particles.active
+    (bidx,) = jnp.nonzero(has_ghost, size=boundary_capacity, fill_value=0)
+    bvalid = has_ghost[bidx]
+    gpoint = ghost[bidx]
+
+    f32 = jnp.float32
+    rows = [particles.position[:, d].astype(f32) for d in range(dims)]
+    rows += [
+        particles.density.astype(f32),
+        particles.motion_limiter.astype(f32),
+    ]
+    pk = jnp.stack(rows, axis=0)                            # [D+2, C]
+    ndev = ctx.num_devices
+    fwd = [(i, i + 1) for i in range(ndev - 1)]
+    bwd = [(i + 1, i) for i in range(ndev - 1)]
+    left = jax.lax.ppermute(pk[:, C - H:], ctx.axis, fwd)
+    right = jax.lax.ppermute(pk[:, :H], ctx.axis, bwd)
+    ext = jnp.concatenate([left, pk, right], axis=1)        # [D+2, C+2H]
+
+    base = ctx.rank() * C
+    cs_ext = jnp.clip(cell_start - (base - H), 0, C + 2 * H).astype(jnp.int32)
+
+    bvec, Amat = pallas_mdbc_moments(
+        spec, grid, mpc, cseg, gpoint, bvalid,
+        ext[:dims].T, ext[dims], ext[dims + 1], cs_ext,
+        interpret=pallas_interpret,
+    )
+    bvec = bvec.astype(particles.density.dtype)
+    Amat = Amat.astype(particles.density.dtype)
     return _mdbc_apply(spec, particles, bidx, bvalid, gpoint, bvec, Amat)
 
 

@@ -451,6 +451,8 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
 def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, R):
     want_kernel = spec.kernel_output is KernelOutputMode.STORE
     want_shift = spec.shifting is ShiftingMode.PLANAR
+    cwin = cseg + 128
+    cwin_pad = -(-cwin // CHUNK_W) * CHUNK_W
     ncells = grid.ncells
     gshape = grid.shape
     gstrides = grid.strides
@@ -471,6 +473,17 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
         # Compacted (cell, row-chunk) program list: only live chunks get
         # programs; slots past the live count point at a dead occ slot.
         b = pl.program_id(0)
+
+        if cwin_pad > cwin:
+            # one-time zero of the buffer tail the DMAs never write (the
+            # grid is sequential per core, so program 0 runs first and the
+            # tail stays zero for every later program)
+            @pl.when(b == 0)
+            def _zero_tail():
+                cand_buf[:, :, cwin:cwin_pad] = jnp.zeros(
+                    (S, cand_buf.shape[1], cwin_pad - cwin), jnp.float32
+                )
+
         slot = prog_slot_ref[b]
         key = occ_keys_ref[slot]
         is_live = key < ncells
@@ -493,14 +506,15 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
         x_lo = jnp.clip(rel[0] - 1, 0, gshape[0] - 1)
         x_hi = jnp.clip(rel[0] + 1, 0, gshape[0] - 1)
 
-        # Aligned candidate window, rounded up to CHUNK_W so the DMA fills
-        # EVERY lane of the scratch buffer: with a cseg+128 window and
-        # cseg % CHUNK_W == 0 the last chunk would read never-written VMEM
-        # lanes whose garbage can be Inf/NaN - the g-select masks to 0 but
-        # g_vx = g * v_dot_x then yields 0 * NaN = NaN (advisor finding,
-        # round 2).  DMA cost is latency-bound, not bytes (measured), so the
-        # extra <=128 lanes are free.
-        cwin = -(-(cseg + 128) // CHUNK_W) * CHUNK_W
+        # DMA'd candidate window vs chunked buffer width: the buffer is
+        # rounded up to CHUNK_W, and when that leaves a tail past the
+        # cseg+128 DMA window the tail lanes are zeroed ONCE by the first
+        # program (scratch persists across the sequential grid; later
+        # programs only ever DMA [0, cwin)).  Without this the last chunk
+        # reads never-written VMEM whose garbage can be Inf/NaN - the
+        # g-select masks to 0 but g_vx = g * v_dot_x then yields 0 * NaN =
+        # NaN (advisor finding, round 2).  Zeroing beats widening the DMA:
+        # the full-width DMA measured +1 ms/sweep at the headline size.
         keys = ["drho"] + [f"dvdt{r}" for r in range(dims)]
         if want_kernel:
             keys += ["w"] + [f"gw{r}" for r in range(dims)]
@@ -550,10 +564,10 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                 )
 
             def seg_dma(s):
-                # cwin == the buffer's full lane dim: no unwritten tail lanes
+                # tail lanes [cwin, cwin_pad) were zeroed once at program 0
                 return pltpu.make_async_copy(
                     packed_hbm.at[:, pl.ds(seg_rs_al[s], cwin)],
-                    cand_buf.at[s], sem.at[1 + s],
+                    cand_buf.at[s, :, pl.ds(0, cwin)], sem.at[1 + s],
                 )
 
             # launch ALL segment DMAs up front: the per-DMA latency (~us)

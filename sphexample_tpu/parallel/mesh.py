@@ -165,7 +165,8 @@ def measure_halo(position, active, inv_cutoff, grid, ndev: int, capacity: int) -
     return int(need)
 
 
-def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = AXIS) -> Simulation:
+def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = AXIS,
+                     min_halo: int = 0) -> Simulation:
     """Return a copy of ``sim`` whose state lives sharded over ``mesh`` and
     whose interval function runs SPMD.  Capacity is padded up to a multiple
     of ``ndev * 128`` (slab capacities stay 128-aligned for the Pallas DMA
@@ -184,6 +185,34 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
     new_cap = int(-(-cap // (ndev * 128)) * (ndev * 128))
     state = pad_capacity(sim.state, new_cap)
 
+    # Pre-sort into global cell-sorted order BEFORE slicing into slabs: the
+    # distributed rebuild (ops/cell_list.rebuild_sharded) migrates rows at
+    # most one hop per rebuild, which is only sound when every slab starts
+    # within one halo of its sorted position.  (The replicated rebuild
+    # tolerated any order; the first distributed rebuild must not.)
+    from ..ops import cell_list as _cl
+
+    cfg0 = sim.cfg
+    p0 = state.particles
+    coords = _cl.clamp_coords(
+        _cl.cell_coords(p0.position, cfg0.spec.kernel.H_inv), cfg0.grid
+    )
+    keys0 = jnp.where(
+        p0.active, _cl.linearize(coords, cfg0.grid), cfg0.grid.parking_key
+    )
+    perm0 = jnp.argsort(keys0, stable=True)
+    p0 = p0.permute(perm0)
+    p0 = p0.replace(cell=jnp.take(coords, perm0, axis=0))
+    edges = jnp.arange(cfg0.grid.ncells + 2, dtype=keys0.dtype)
+    cs0 = jnp.searchsorted(
+        jnp.take(keys0, perm0), edges, side="left"
+    ).astype(jnp.int32)
+    state = state.replace(
+        particles=p0,
+        cell_start=cs0,
+        position_half=jnp.take(state.position_half, perm0, axis=0),
+    )
+
     cfg0 = sim.cfg
     halo = 0
     if cfg0.use_pallas:
@@ -194,6 +223,7 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
         )
         r128 = lambda v: -(-int(v) // 128) * 128  # noqa: E731
         want = r128(need * 2 + 128)               # 2x margin for drift
+        want = max(want, r128(min_halo))          # retune-observed floor
         if want <= C:
             halo = want
         elif r128(need + 64) <= C:

@@ -452,3 +452,61 @@ def test_auto_retune_pallas_tables(tmp_path):
     assert int(sim.state.pallas_tables.nprog) > 0
     assert float(sim.state.total_time) > 0.02 - 1e-9
     assert np.isfinite(np.asarray(sim.state.particles.density)).all()
+
+
+def test_checkpoint_across_retune(tmp_path):
+    """A checkpoint written AFTER a retune (grown mpc/cseg/capacity) must
+    resume into a freshly assembled simulation with the original sizing:
+    resume_simulation grows the windows/capacity from the npz metadata and
+    re-jits instead of raising on leaf-shape mismatch (round-2 weak #5)."""
+    import dataclasses
+
+    import numpy as np
+
+    from sphexample_tpu import run_simulation as run_sim
+    from sphexample_tpu.core.step import make_interval_fn
+    from sphexample_tpu.io.checkpoint import resume_simulation, save_checkpoint
+
+    def build():
+        rng = np.random.default_rng(3)
+        const = SimulationConstants(dx=0.02, c0=40.0, cfl=0.3)
+        kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+        pos = rng.uniform(0, 0.25, size=(400, 2))
+        meta = SimulationMetaData(
+            simulation_name="ckrt", save_location=str(tmp_path), dims=2,
+            simulation_time=0.03, output_times=0.01, max_per_cell=8,
+            block_size=64, dtype="float64", use_pallas=True,
+        )
+        sim = assemble_simulation(
+            pos, np.full(400, const.rho0), np.ones(400, np.int32),
+            np.ones(400, np.int32), np.arange(1, 401),
+            meta, const, kern, ViscosityModel.ARTIFICIAL,
+            DensityDiffusionModel.ZERO,
+        )
+        sim.cfg = dataclasses.replace(sim.cfg, pallas_interpret=True)
+        sim.interval_fn = make_interval_fn(sim.cfg)
+        return sim
+
+    sim = build()
+    mpc0 = sim.cfg.mpc
+    sim = run_sim(sim, max_intervals=2)
+    assert sim.cfg.mpc > mpc0, "expected a retune to fire"
+
+    ck = str(tmp_path / "ck.npz")
+    save_checkpoint(ck, sim.state, 3, cfg=sim.cfg)
+
+    # fresh assembly: original (smaller) windows and capacity
+    sim2 = build()
+    assert sim2.cfg.mpc < sim.cfg.mpc
+    sim2, counter = resume_simulation(sim2, ck)
+    assert counter == 3
+    assert sim2.cfg.mpc >= sim.cfg.mpc
+    assert sim2.cfg.cseg >= sim.cfg.cseg
+    assert sim2.state.particles.capacity >= sim.state.particles.capacity
+    t0 = float(sim2.state.total_time)
+    np.testing.assert_allclose(t0, float(sim.state.total_time), rtol=0, atol=0)
+
+    out = run_sim(sim2, max_intervals=1, start_counter=counter)
+    assert float(out.state.total_time) > t0
+    act = np.asarray(out.state.particles.active)
+    assert np.isfinite(np.asarray(out.state.particles.density)[act]).all()

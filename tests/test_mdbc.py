@@ -212,3 +212,77 @@ def test_mdbc_pallas_step_plumbing():
         np.asarray(sp.particles.acceleration)[op],
         np.asarray(sg.particles.acceleration)[og], rtol=1e-3, atol=0.05,
     )
+
+
+@pytest.mark.parametrize("edge", [False, True])
+def test_mdbc_pallas_crowded_chunk_boundaries(edge):
+    """Stress the fused moment kernel exactly where hardware found its one
+    bug (rank aliasing past mpc, PERFORMANCE.md): a single ghost cell
+    crowded far beyond one R-chunk (multiple chunk programs per cell),
+    candidate row segments straddling several 128-lane chunks, and - with
+    ``edge`` - the ghost cell pinned at the grid corner so stencil rows
+    clamp."""
+    rng = np.random.default_rng(11)
+    dims = 2
+    const = SimulationConstants(dx=0.05)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, dims, dx=const.dx)
+    pitch = kern.H  # cell pitch
+
+    # the crowded cell: center at the grid edge or the interior
+    ccell = np.array([0, 0]) if edge else np.array([3, 3])
+    center = ccell * pitch
+
+    # 90 ghosts inside ONE cell -> ceil(90/32) = 3 chunk programs
+    n_b = 90
+    gpts = center + rng.uniform(-0.45, 0.45, size=(n_b, dims)) * pitch
+    # boundary particles themselves live in a far-away cell
+    pos_b = rng.uniform(0, 0.4, size=(n_b, dims)) + np.array([12 * pitch, 0.0])
+
+    # dense fluid: ~240 particles packed into the 3-cell x-row of the ghost
+    # cell -> candidate segments cross the 128- and 256-lane chunk edges
+    n_f = 240
+    fx = rng.uniform(-1.45, 1.45, size=n_f) * pitch + center[0]
+    fz = rng.uniform(-0.49, 0.49, size=n_f) * pitch + center[1]
+    pos_f = np.stack([fx, fz], axis=-1)
+
+    pos = np.concatenate([pos_b, pos_f])
+    n = n_b + n_f
+    dens = rng.uniform(995, 1040, size=n)
+    ptype = np.concatenate([np.full(n_b, 2), np.full(n_f, 1)]).astype(np.int32)
+    ghost = np.zeros_like(pos)
+    ghost[:n_b] = gpts
+
+    parts = allocate_particles(
+        pos, dens, ptype, np.ones(n, np.int32), np.arange(1, n + 1),
+        dtype=jnp.float64, capacity=1024,
+    )
+    parts = parts.replace(
+        ghost_points=parts.ghost_points.at[:n].set(jnp.asarray(ghost))
+    )
+    if edge:
+        # grid whose corner IS the crowded cell
+        grid = cl.Grid(cmin=(0, 0), shape=(16, 16))
+    else:
+        grid = cl.grid_from_positions(pos, kern.H_inv, margin_cells=3)
+    sorted_p, cell_start, _ = cl.rebuild(parts, kern.H_inv, grid)
+
+    spec = PhysicsSpec(
+        constants=const, kernel=kern,
+        viscosity=ViscosityModel.ZERO, diffusion=DensityDiffusionModel.ZERO,
+    )
+    new_dens = mdbc_density_correction(
+        spec, grid, cseg=384, particles=sorted_p, cell_start=cell_start,
+        boundary_capacity=n_b, use_pallas=True, mpc=64, pallas_interpret=True,
+    )
+    ref = brute_force_mdbc(
+        kern, const,
+        np.asarray(sorted_p.cell), np.asarray(sorted_p.position),
+        np.asarray(sorted_p.density), np.asarray(sorted_p.ptype),
+        np.asarray(sorted_p.ghost_points), kern.H_inv,
+    )
+    np.testing.assert_allclose(np.asarray(new_dens), ref, rtol=3e-5, atol=1e-8)
+    # every crowded ghost actually got a correction (dense fluid all around)
+    is_b = np.asarray(sorted_p.ptype) == 2
+    changed = np.abs(np.asarray(new_dens) - np.asarray(sorted_p.density)) > 1e-12
+    if not edge:
+        assert changed[is_b].mean() > 0.9

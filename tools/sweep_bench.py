@@ -191,7 +191,7 @@ def main():
                     rem_k = rem_k // gshape[d_i]
                 x_lo = _jnp.clip(rel[0] - 1, 0, gshape[0] - 1)
                 x_hi = _jnp.clip(rel[0] + 1, 0, gshape[0] - 1)
-                cwin = -(-(cseg + 128) // ps.CHUNK_W) * ps.CHUNK_W
+                cwin = cseg + 128  # DMA width; buffer tail is zeroed by the real kernel
 
                 @_pl.when(is_live)
                 def _body():
@@ -234,7 +234,7 @@ def main():
                                 packed_hbm.at[:, _pl.ds(seg_al[s], cwin)],
                                 cand_buf.at[s, :, _pl.ds(0, cwin)],
                                 sem.at[1 + s]).wait()
-                            acc_ref[0, :, :] += cand_buf[s][0:1, 0:128]
+                            acc_ref[0, :, :] += cand_buf[s][0:1, 0:ps.CHUNK_W]
 
             return kernel
 
