@@ -98,15 +98,13 @@ def assemble_simulation(
         mpc_pad = -(-mpc_exact // 8) * 8
         cseg = -(-(int(seg0 * 1.25) + 2) // 128) * 128
         mpc = mpc_pad
-        # tail padding keeps the kernel's aligned self-window clamp from
-        # ever binding on a live cell; capacity must be a 128 multiple and
-        # cover the CHUNK_W-rounded candidate DMA window
-        # (see ops/pallas_sweep.py)
-        from ..ops.pallas_sweep import CHUNK_W
-
-        capacity = max(
-            capacity or 0, n + 256, -(-(cseg + 128) // CHUNK_W) * CHUNK_W
-        )
+        # tail padding keeps the kernel's aligned DMA-window clamps from
+        # EVER binding on a live cell (capacity >= n_live + window): beyond
+        # correctness headroom this makes the in-window lane offsets - and
+        # therefore the f32 summation order - independent of the array
+        # length, so sharded slabs reproduce the single-chip sums exactly
+        cwin = -(-(cseg + mpc) // 128) * 128 + 128
+        capacity = max(capacity or 0, n + cwin + 128, n + 256)
         capacity = -(-capacity // 128) * 128
     else:
         mpc_pad = mpc
@@ -161,10 +159,10 @@ def assemble_simulation(
     )
 
     if meta.use_pallas:
-        from ..ops.pallas_sweep import init_program_tables, prog_rows
+        from ..ops.pallas_sweep import init_program_tables, sweep_rows
 
         tables = init_program_tables(
-            grid, cfg.maxc, prog_rows(cfg.mpc), particles.capacity
+            grid, cfg.maxc, sweep_rows(cfg.mpc), particles.capacity
         )
     else:
         from ..state import empty_pallas_tables
@@ -300,11 +298,10 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
         mpc = -(-(int(occ * 2.0) + 2) // 8) * 8
         cseg = -(-(int(max(seg, 3 * occ) * 1.5) + 2) // 128) * 128
         maxc = min(cfg.grid.ncells, ncc * 2 + 256)
-        from ..ops.pallas_sweep import CHUNK_W
-
+        cwin = -(-(cseg + mpc) // 128) * 128 + 128
         new_cap = max(
             prev_state.particles.capacity,
-            -(-(cseg + 128) // CHUNK_W) * CHUNK_W,
+            sim.n_live + cwin + 128,
             sim.n_live + 256,
         )
         new_cap = -(-new_cap // 128) * 128
@@ -312,11 +309,11 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
         new_cfg = _dc.replace(cfg, mpc=mpc, cseg=cseg, maxc=max(maxc, cfg.maxc))
         # the program tables are shaped by (maxc, mpc, capacity): re-init to
         # the new shapes (the replayed interval's first step rebuilds them)
-        from ..ops.pallas_sweep import init_program_tables, prog_rows
+        from ..ops.pallas_sweep import init_program_tables, sweep_rows
 
         prev_state = prev_state.replace(
             pallas_tables=init_program_tables(
-                cfg.grid, new_cfg.maxc, prog_rows(new_cfg.mpc), new_cap
+                cfg.grid, new_cfg.maxc, sweep_rows(new_cfg.mpc), new_cap
             )
         )
     else:

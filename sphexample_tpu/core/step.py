@@ -144,18 +144,20 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
         ncc = jnp.sum(counts > 0).astype(jnp.int32)
         halo_need = state.max_halo
         if pallas_single:
-            from ..ops.pallas_sweep import make_program_tables, prog_rows
+            from ..ops.pallas_sweep import make_program_tables, sweep_rows
 
             tables = make_program_tables(
-                cell_start, cfg.grid, cfg.maxc, prog_rows(cfg.mpc), cap,
-                sorted_p.cell, sorted_p.active, cfg.mpc,
+                cell_start, cfg.grid, cfg.maxc, sweep_rows(cfg.mpc), cap,
+                sorted_p.cell, sorted_p.active, cfg.mpc, pair=True,
             )
         elif pallas_halo:
-            from ..ops.pallas_sweep import make_local_program_tables, prog_rows
+            from ..ops.pallas_sweep import (make_local_program_tables,
+                                            sweep_rows)
 
             tables = make_local_program_tables(
-                cell_start, cfg.grid, cfg.maxc, prog_rows(cfg.mpc), base, cap,
+                cell_start, cfg.grid, cfg.maxc, sweep_rows(cfg.mpc), base, cap,
                 cap + 2 * cfg.halo, sorted_p.cell, sorted_p.active, cfg.mpc,
+                pair=True,
             )
             # halo telemetry: furthest sorted-row reach of any live local
             # stencil window past the slab boundaries (empty segments have

@@ -133,14 +133,14 @@ def resume_simulation(sim, path: str):
         if (mpc, cseg, maxc) != (sim.cfg.mpc, sim.cfg.cseg, sim.cfg.maxc) or \
                 cap != int(sim.state.particles.capacity):
             from ..core.driver import Simulation
-            from ..ops.pallas_sweep import init_program_tables, prog_rows
+            from ..ops.pallas_sweep import init_program_tables, sweep_rows
             from ..parallel.mesh import pad_capacity
 
             state = pad_capacity(sim.state, cap)
             new_cfg = _dc.replace(sim.cfg, mpc=mpc, cseg=cseg, maxc=maxc)
             state = state.replace(
                 pallas_tables=init_program_tables(
-                    new_cfg.grid, maxc, prog_rows(mpc), cap
+                    new_cfg.grid, maxc, sweep_rows(mpc), cap
                 )
             )
             sim = Simulation(

@@ -57,7 +57,7 @@ def _make_mdbc_kernel(kern, c, grid: Grid, dims, nf_cand, cseg, S, n, Bpad, R, K
     ):
         b = pl.program_id(0)
         slot = prog_slot_ref[b]
-        key = occ_keys_ref[slot]
+        key = occ_keys_ref[slot] >> 1  # bit 0 is the (sweep-only) pair flag
         is_live = key < ncells
         keyc = jnp.minimum(key, ncells - 1)
         chunk = b - prog_base_ref[slot]

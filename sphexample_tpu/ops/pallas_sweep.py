@@ -5,7 +5,9 @@ amortizes candidate traffic across all particles of a cell (the reference's
 cell-centric ``NeighborLoop!`` reimagined for VMEM, reference
 ``src/SPHCellList.jl:168-217``):
 
-  * one grid program per occupied (cell, row-chunk) - the compacted program
+  * one grid program per occupied (cell-PAIR, row-chunk) - two x-adjacent
+    occupied cells merge into one program (paired by x-parity, so the
+    structure is deterministic under sharding); the compacted program
     tables are pure functions of ``cell_start`` and are built once per lazy
     rebuild (``make_program_tables``, carried in the state), not per sweep,
   * the sweep fields are packed twice in HBM: ``[F, N]`` lane-major for
@@ -60,6 +62,15 @@ def prog_rows(mpc: int) -> int:
     return min(mpc, 32)
 
 
+def sweep_rows(mpc: int) -> int:
+    """Self rows per SWEEP program: twice the chunk rows, covering a cell
+    PAIR (two x-adjacent occupied cells merged into one program - halves the
+    launch floor and the per-segment DMA/bookkeeping).  The kernel computes
+    the two halves as predicated 32-row sub-tiles, so an unpaired or small
+    cell pays no dead-row lanes beyond the old single-cell fill."""
+    return 2 * prog_rows(mpc)
+
+
 # Trace-time toggle: predicate trailing candidate chunks (skip their VPU
 # work) vs compute them masked.  Measured on-chip per kernel change.
 PREDICATE_CHUNKS = True
@@ -91,7 +102,8 @@ def pack_fields(position, velocity, density, pressure, ml):
 
 
 def make_program_tables(cell_start, grid: Grid, maxc: int, R: int,
-                        capacity: int, cells, active, mpc: int) -> PallasTables:
+                        capacity: int, cells, active, mpc: int,
+                        pair: bool = False) -> PallasTables:
     """Compacted (cell, row-chunk) program tables from ``cell_start``.
 
     Pure function of the cell list (and of the rebuild-sorted particle
@@ -107,13 +119,14 @@ def make_program_tables(cell_start, grid: Grid, maxc: int, R: int,
     ncells = grid.ncells
     counts = cell_start[1 : ncells + 1] - cell_start[:ncells]
     t = _tables_from_counts(counts, counts, grid, maxc, R,
-                            maxc + capacity // R + 1)
+                            maxc + capacity // R + 1, pair=pair)
     return _with_gather_indices(t, cell_start, cells, active, 0, grid, mpc, R)
 
 
 def make_local_program_tables(cell_start, grid: Grid, maxc: int, R: int,
                               base, local_rows: int, ext_capacity: int,
-                              cells, active, mpc: int) -> PallasTables:
+                              cells, active, mpc: int,
+                              pair: bool = False) -> PallasTables:
     """Per-device program tables under ``shard_map`` (halo-exchange path).
 
     A device enumerates programs for every cell whose sorted rows intersect
@@ -128,7 +141,7 @@ def make_local_program_tables(cell_start, grid: Grid, maxc: int, R: int,
     lo = jnp.clip(cell_start[:ncells] - base, 0, local_rows)
     hi = jnp.clip(cell_start[1 : ncells + 1] - base, 0, local_rows)
     t = _tables_from_counts(hi - lo, counts_full, grid, maxc, R,
-                            maxc + ext_capacity // R + 1)
+                            maxc + ext_capacity // R + 1, pair=pair)
     halo = (ext_capacity - local_rows) // 2
     cs_ext = jnp.clip(cell_start - (base - halo), 0, ext_capacity)
     t = _with_gather_indices(t, cs_ext, cells, active, halo, grid, mpc, R)
@@ -144,9 +157,11 @@ def _with_gather_indices(t: PallasTables, cell_start_k, cells, active, idx0,
     keys_p = linearize(cells, grid)
     keys_p = jnp.where(active, keys_p, ncells)
     slot = t.slot_of_cell[jnp.minimum(keys_p, ncells)]
-    s0 = jnp.where(
-        keys_p < ncells, cell_start_k[jnp.minimum(keys_p, ncells - 1)], 0
-    )
+    # rank is measured from the slot's LEAD cell start (== own cell start
+    # for unpaired slots; for the partner cell of a pair the lead sits one
+    # key lower and the pair's rows are contiguous in sorted order)
+    lead = jnp.minimum(t.occ_keys[slot] >> 1, ncells - 1)
+    s0 = jnp.where(keys_p < ncells, cell_start_k[lead], 0)
     n_local = cells.shape[0]
     # rank must NOT be clipped to the window budget: chunked programs cover
     # ANY cell occupancy (ceil(count/R) chunks), and clipping aliases every
@@ -165,17 +180,48 @@ def _with_gather_indices(t: PallasTables, cell_start_k, cells, active, idx0,
 
 
 def _tables_from_counts(counts_select, counts_prog, grid: Grid, maxc: int,
-                        R: int, maxp: int) -> PallasTables:
+                        R: int, maxp: int, pair: bool = False) -> PallasTables:
     """Shared table construction: cells with ``counts_select > 0`` get
-    ``ceil(counts_prog / R)`` consecutive programs each."""
-    ncells = grid.ncells
-    (occ_keys,) = jnp.nonzero(counts_select > 0, size=maxc, fill_value=ncells)
-    occ_valid = occ_keys < ncells
+    ``ceil(rows / R)`` consecutive programs each.
 
-    counts_occ = jnp.where(
-        occ_valid, counts_prog[jnp.minimum(occ_keys, ncells - 1)], 0
-    )
-    nch = -(-counts_occ // R)                                  # live chunks/cell
+    ``pair=True`` (sweep only): x-adjacent occupied cells {k, k+1} with
+    ``x(k)`` EVEN merge into one slot covering both cells' contiguous sorted
+    rows.  Pairing by x-PARITY (not occ-list position) is deterministic
+    under sharding: a device whose slab intersects only one cell of a pair
+    still builds the identical pair (the selection is widened to whole pair
+    units), so per-chunk accumulation boundaries - and therefore f32 sums -
+    match the single-chip kernel exactly.
+    """
+    ncells = grid.ncells
+    sel = counts_select > 0
+    if pair:
+        nx = grid.shape[0]
+        occ_full = counts_prog > 0
+        nxt = jnp.concatenate(
+            [occ_full[1:], jnp.zeros((1,), bool)]
+        )
+        xidx = jnp.arange(ncells, dtype=jnp.int32) % nx
+        pairable = occ_full & nxt & (xidx % 2 == 0) & (xidx < nx - 1)
+        partner = jnp.concatenate([jnp.zeros((1,), bool), pairable[:-1]])
+        sel_prev = jnp.concatenate([jnp.zeros((1,), bool), sel[:-1]])
+        sel_next = jnp.concatenate([sel[1:], jnp.zeros((1,), bool)])
+        sel = (sel | (sel_next & pairable) | (sel_prev & partner)) & ~partner
+
+    (occ_keys,) = jnp.nonzero(sel, size=maxc, fill_value=ncells)
+    occ_valid = occ_keys < ncells
+    k = jnp.minimum(occ_keys, ncells - 1)
+
+    if pair:
+        slot_pair = occ_valid & pairable[k]
+        cnt_b = jnp.where(
+            slot_pair, counts_prog[jnp.minimum(k + 1, ncells - 1)], 0
+        )
+        counts_occ = jnp.where(occ_valid, counts_prog[k] + cnt_b, 0)
+    else:
+        slot_pair = jnp.zeros((maxc,), bool)
+        counts_occ = jnp.where(occ_valid, counts_prog[k], 0)
+
+    nch = -(-counts_occ // R)                                  # live chunks/slot
     offsets = jnp.cumsum(nch)                                  # [maxc]
     prog_base = (offsets - nch).astype(jnp.int32)              # slot -> first prog
     prog_slot = jnp.clip(
@@ -185,12 +231,23 @@ def _tables_from_counts(counts_select, counts_prog, grid: Grid, maxc: int,
     slot_of_cell = jnp.zeros((ncells + 1,), jnp.int32).at[occ_keys].set(
         jnp.arange(maxc, dtype=jnp.int32), mode="drop"
     )
+    if pair:
+        # the partner cell resolves to the pair's slot (gather-back ranks
+        # are measured from the LEAD cell's first row)
+        partner_keys = jnp.where(slot_pair, occ_keys + 1, ncells + 1)
+        slot_of_cell = slot_of_cell.at[partner_keys].set(
+            jnp.arange(maxc, dtype=jnp.int32), mode="drop"
+        )
     z = jnp.zeros((0,), jnp.int32)
+    # the pair flag rides occ_keys' bit 0 (key encoded as 2*key + pair):
+    # a fifth SMEM prefetch array measured OVER the 1 MB scoped-SMEM cap at
+    # the 430k-particle scale (the four arrays already total ~968 KB there)
+    occ_enc = occ_keys.astype(jnp.int32) * 2 + slot_pair.astype(jnp.int32)
     return PallasTables(
-        occ_keys=occ_keys.astype(jnp.int32), prog_base=prog_base,
+        occ_keys=occ_enc, prog_base=prog_base,
         prog_slot=prog_slot, slot_of_cell=slot_of_cell,
         nprog=jnp.minimum(offsets[-1], maxp).astype(jnp.int32),
-        prog_idx=z, row_idx=z,
+        prog_idx=z, row_idx=z, slot_pair=slot_pair.astype(jnp.int32),
     )
 
 
@@ -210,6 +267,7 @@ def init_program_tables(grid: Grid, maxc: int, R: int, capacity: int,
         nprog=jnp.zeros((), jnp.int32),
         prog_idx=jnp.zeros((nloc,), jnp.int32),
         row_idx=jnp.zeros((nloc,), jnp.int32),
+        slot_pair=jnp.zeros((maxc,), jnp.int32),
     )
 
 
@@ -451,7 +509,15 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
 def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, R):
     want_kernel = spec.kernel_output is KernelOutputMode.STORE
     want_shift = spec.shifting is ShiftingMode.PLANAR
-    cwin = cseg + 128
+    # Cell-pair programs: one program covers the contiguous sorted rows of
+    # up to TWO x-adjacent occupied cells (R2 = 2R rows as two predicated
+    # R-row halves), so the candidate x-window spans up to 4 cells.  The
+    # 4-cell segment bound is cseg + mpc (3-cell segment <= cseg and one
+    # cell <= mpc - both already telemetry-guarded), so no new overflow
+    # telemetry is needed.
+    R2 = 2 * R
+    cseg4 = _round_up(cseg + mpc, 128)
+    cwin = cseg4 + 128
     cwin_pad = -(-cwin // CHUNK_W) * CHUNK_W
     ncells = grid.ncells
     gshape = grid.shape
@@ -459,19 +525,19 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
     rows_np = stencil_rows(dims)  # [S, D-1] static python ints
 
     def kernel(
-        occ_keys_ref,    # [maxc] SMEM (prefetch): compacted occupied cell keys
+        occ_keys_ref,    # [maxc] SMEM (prefetch): 2*lead_key + pair_flag
         cell_start_ref,  # [ncells+2] SMEM (prefetch)
         prog_slot_ref,   # [maxp] SMEM (prefetch): program -> occupied slot
         prog_base_ref,   # [maxc] SMEM (prefetch): slot -> first program id
         packed_hbm,      # [F_pad, N] HBM (lane-major, candidate segments)
         packedT_hbm,     # [N, F_pad] HBM (row-major, self windows)
-        mom_out,         # [1, K_pad, R] fused output block (all keys)
+        mom_out,         # [1, K_pad, R2] fused output block (all keys)
         selfT_buf, cand_buf, acc_ref, sem,
     ):
         outs = (mom_out,)
 
-        # Compacted (cell, row-chunk) program list: only live chunks get
-        # programs; slots past the live count point at a dead occ slot.
+        # Compacted (cell-pair, row-chunk) program list: only live chunks
+        # get programs; slots past the live count point at a dead occ slot.
         b = pl.program_id(0)
 
         if cwin_pad > cwin:
@@ -485,36 +551,31 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                 )
 
         slot = prog_slot_ref[b]
-        key = occ_keys_ref[slot]
+        key_enc = occ_keys_ref[slot]     # 2*key + pair_flag (SMEM economy)
+        key = key_enc >> 1
+        pairflag = key_enc & 1
         is_live = key < ncells
         keyc = jnp.minimum(key, ncells - 1)
         chunk = b - prog_base_ref[slot]
-        base_row = chunk * R
-        s0_cell = cell_start_ref[keyc]
-        cnt_cell = jnp.where(is_live, cell_start_ref[keyc + 1] - s0_cell, 0)
-        # this program handles rows [base_row, base_row + R) of the cell
-        s0 = s0_cell + base_row
-        cnt = jnp.clip(cnt_cell - base_row, 0, R)
+        base_row = chunk * R2
+        csA = cell_start_ref[keyc]
+        ceA = cell_start_ref[keyc + 1]
+        ceB = cell_start_ref[keyc + 1 + pairflag]  # == ceA when unpaired
+        cnt_unit = jnp.where(is_live, ceB - csA, 0)
+        # this program handles rows [base_row, base_row + R2) of the pair
+        s0 = csA + base_row
+        cnt = jnp.clip(cnt_unit - base_row, 0, R2)
         is_live = is_live & (cnt > 0)
 
-        # decompose the linear key into grid coordinates (x fastest)
+        # decompose the linear LEAD key into grid coordinates (x fastest)
         rel = []
         rem_k = keyc
         for d_i in range(dims):
             rel.append(rem_k % gshape[d_i])
             rem_k = rem_k // gshape[d_i]
         x_lo = jnp.clip(rel[0] - 1, 0, gshape[0] - 1)
-        x_hi = jnp.clip(rel[0] + 1, 0, gshape[0] - 1)
+        x_hi = jnp.clip(rel[0] + 1 + pairflag, 0, gshape[0] - 1)
 
-        # DMA'd candidate window vs chunked buffer width: the buffer is
-        # rounded up to CHUNK_W, and when that leaves a tail past the
-        # cseg+128 DMA window the tail lanes are zeroed ONCE by the first
-        # program (scratch persists across the sequential grid; later
-        # programs only ever DMA [0, cwin)).  Without this the last chunk
-        # reads never-written VMEM whose garbage can be Inf/NaN - the
-        # g-select masks to 0 but g_vx = g * v_dot_x then yields 0 * NaN =
-        # NaN (advisor finding, round 2).  Zeroing beats widening the DMA:
-        # the full-width DMA measured +1 ms/sweep at the headline size.
         keys = ["drho"] + [f"dvdt{r}" for r in range(dims)]
         if want_kernel:
             keys += ["w"] + [f"gw{r}" for r in range(dims)]
@@ -531,12 +592,12 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
             # (no per-field transposes).  The driver pads the capacity so the
             # clamp never bites for live cells.
             s08 = pl.multiple_of(
-                jnp.maximum(jnp.minimum((s0 // 8) * 8, n - (R + 8)), 0), 8
+                jnp.maximum(jnp.minimum((s0 // 8) * 8, n - (R2 + 8)), 0), 8
             )
             rem8 = s0 - s08  # in [0, 8)
 
             cp_self = pltpu.make_async_copy(
-                packedT_hbm.at[pl.ds(s08, R + 8)], selfT_buf, sem.at[0]
+                packedT_hbm.at[pl.ds(s08, R2 + 8)], selfT_buf, sem.at[0]
             )
             cp_self.start()
 
@@ -580,20 +641,30 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
 
             cp_self.wait()
 
-            # self quantities live as [R, 1] columns (rank-1: a fraction of
-            # the full-tile vreg cost).  One sublane roll de-rotates the
-            # 8-aligned window; columns are then static lane slices.
-            # (positive modular shift: compiled Mosaic mis-lowers dynamic
-            # NEGATIVE roll shifts; interpret mode is correct, which is why
-            # interpret parity tests never caught it.)
-            selfT = pltpu.roll(selfT_buf[...], shift=(R + 8) - rem8, axis=0)[0:R]
-            self_f = [selfT[:, f : f + 1] for f in range(nfields)]
-
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-            idx_i = s0 + row_ids             # [R, 1] global sorted self index
-            self_valid = row_ids < cnt       # [R, 1]
-            cell_end = s0_cell + cnt_cell
+            # self quantities live as [R, 1] columns per HALF (rank-1: a
+            # fraction of the full-tile vreg cost).  One sublane roll
+            # de-rotates the 8-aligned window; columns are then static
+            # slices.  (positive modular shift: compiled Mosaic mis-lowers
+            # dynamic NEGATIVE roll shifts; interpret mode is correct,
+            # which is why interpret parity tests never caught it.)
+            selfT = pltpu.roll(selfT_buf[...], shift=(R2 + 8) - rem8, axis=0)[0:R2]
             want_kernel_out = spec.kernel_output is KernelOutputMode.STORE
+
+            # per-half hoisted quantities: self columns, sorted self index,
+            # row-validity, and per-ROW cell bounds (a row of the second
+            # cell of a pair must test same-cell against ITS OWN bounds for
+            # the diffusion role quirk)
+            half = []
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+            for hf in range(2):
+                sl = selfT[hf * R : (hf + 1) * R]
+                self_f = [sl[:, f : f + 1] for f in range(nfields)]
+                idx_i = (s0 + hf * R) + row_ids          # [R, 1]
+                self_valid = (row_ids + hf * R) < cnt    # [R, 1]
+                in_a = idx_i < ceA
+                cs_row = jnp.where(in_a, csA, ceA)       # [R, 1]
+                ce_row = jnp.where(in_a, ceA, ceB)       # [R, 1]
+                half.append((self_f, idx_i, self_valid, cs_row, ce_row))
 
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -607,42 +678,53 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
 
                     # Candidates are indexed IN PLACE in the 128-aligned
                     # window (no lane roll - rolls measured ~1/3 of sweep
-                    # time): chunk kc covers aligned lanes [kc*128, kc*128 +
-                    # 128), lane validity masks both the pre-segment head
+                    # time); lane validity masks both the pre-segment head
                     # (other cells' particles) and the tail.  All pair terms
                     # are proportional to the masked g, so foreign lanes
                     # contribute exact zeros.
                     def chunk_body(kc):
                         lo = kc * CHUNK_W
-                        idx_j = (seg_rs_al[s] + lo) + lane_ids     # [1, 128]
+                        idx_j = (seg_rs_al[s] + lo) + lane_ids     # [1, W]
                         lane_valid = (idx_j >= seg_rs[s]) & (idx_j < seg_re[s])
-                        within = self_valid & lane_valid
-                        if want_kernel_out:
-                            # self-pair exclusion: every pair term vanishes
-                            # at d2 == 0 except the kernel sum W(0), so the
-                            # index test is only needed in kernel-output mode.
-                            within = within & (idx_j != idx_i)
-                        # diffusion role flag (cell-centric quirk):
-                        # intra-cell pairs give the i role to the lower
-                        # sorted index, cross-cell pairs to the particle
-                        # in the later cell (== higher sorted index,
-                        # arrays are key-sorted).  same_cell is lane-only;
-                        # composed with logical ops, not jnp.where -
-                        # Mosaic cannot lower select on boolean vectors
-                        # (i8->i1 trunci).
-                        same_cell = (idx_j >= s0_cell) & (idx_j < cell_end)
-                        i_is_role_i = ~(same_cell ^ (idx_i < idx_j))
                         cand_f = [
                             cand_buf[s][f : f + 1, lo : lo + CHUNK_W]
                             for f in range(nfields)
                         ]
-                        terms = _pair_math(
-                            spec, dims, self_f, cand_f, i_is_role_i, within
-                        )
-                        # all chunks accumulate into the same 128 lanes (the
-                        # final op is a lane sum); one stacked read-modify-
-                        # write instead of n_keys separate VMEM RMWs
-                        acc_ref[...] += jnp.stack([terms[k] for k in keys])
+
+                        def half_body(hf):
+                            self_f, idx_i, self_valid, cs_row, ce_row = half[hf]
+                            within = self_valid & lane_valid
+                            if want_kernel_out:
+                                # self-pair exclusion: every pair term
+                                # vanishes at d2 == 0 except the kernel sum
+                                # W(0), so the index test is only needed in
+                                # kernel-output mode.
+                                within = within & (idx_j != idx_i)
+                            # diffusion role flag (cell-centric quirk):
+                            # intra-cell pairs give the i role to the lower
+                            # sorted index, cross-cell pairs to the particle
+                            # in the later cell (== higher sorted index,
+                            # arrays are key-sorted).  Composed with logical
+                            # ops, not jnp.where - Mosaic cannot lower
+                            # select on boolean vectors (i8->i1 trunci).
+                            same_cell = (idx_j >= cs_row) & (idx_j < ce_row)
+                            i_is_role_i = ~(same_cell ^ (idx_i < idx_j))
+                            terms = _pair_math(
+                                spec, dims, self_f, cand_f, i_is_role_i,
+                                within,
+                            )
+                            # one stacked read-modify-write per half instead
+                            # of n_keys separate VMEM RMWs
+                            acc_ref[:, hf * R : (hf + 1) * R, :] += jnp.stack(
+                                [terms[k] for k in keys]
+                            )
+
+                        # the second half holds rows only when the pair unit
+                        # overflows one R-row tile - predicated off
+                        # otherwise, so an unpaired small cell pays no
+                        # dead-row lanes beyond the old single-cell fill
+                        half_body(0)
+                        pl.when(cnt > R)(functools.partial(half_body, 1))
 
                     # chunk 0 always holds live lanes when the segment is
                     # non-empty (seg_rs sits inside the first aligned chunk);
@@ -661,8 +743,8 @@ def _make_kernel(spec: PhysicsSpec, grid: Grid, dims, nfields, mpc, cseg, S, n, 
                             chunk_body(kc)
 
             # lane-reduce the whole accumulator at once and store ONE fused
-            # [1, K, R] block in `keys` order (acc slot ki[k] == position of
-            # k in `keys`) - no per-key transposes, one XLA gather-back
+            # [1, K, R2] block in `keys` order (acc slot ki[k] == position
+            # of k in `keys`) - no per-key transposes, one XLA gather-back
             outs[0][0, 0 : len(keys), :] = jnp.sum(acc_ref[...], axis=2)
 
     return kernel
@@ -698,11 +780,11 @@ def pallas_pair_sweep(
     """
     dims = position.shape[1]
     n = position.shape[0]
-    cwin_pad = _round_up(cseg + 128, CHUNK_W)
-    if n % 128 != 0 or n < cwin_pad:
+    cwin = _round_up(cseg + mpc, 128) + 128  # 4-cell pair window + alignment
+    if n % 128 != 0 or n < cwin:
         raise ValueError(
             f"particle capacity {n} must be a multiple of 128 and >= the DMA "
-            f"window ({cwin_pad}); pad the capacity"
+            f"window ({cwin}); pad the capacity"
         )
     if mpc % 8 != 0:
         raise ValueError(f"mpc={mpc} must be a multiple of 8")
@@ -720,15 +802,16 @@ def pallas_pair_sweep(
         particles.motion_limiter.astype(jnp.float32),
     )
 
-    R = prog_rows(mpc)
-    maxp = maxc + n // R + 1
+    R2 = sweep_rows(mpc)
+    maxp = maxc + n // R2 + 1
     if tables is None:
-        tables = make_program_tables(cell_start, grid, maxc, R, n,
-                                     particles.cell, particles.active, mpc)
+        tables = make_program_tables(cell_start, grid, maxc, R2, n,
+                                     particles.cell, particles.active, mpc,
+                                     pair=True)
     if tables.prog_slot.shape[0] != maxp:
         raise ValueError(
             f"program tables sized for maxp={tables.prog_slot.shape[0]}, "
-            f"expected {maxp} (maxc={maxc}, capacity={n}, R={R})"
+            f"expected {maxp} (maxc={maxc}, capacity={n}, R2={R2})"
         )
 
     outs = _invoke_kernel(
@@ -750,14 +833,15 @@ def _invoke_kernel(spec, grid, mpc, cseg, tables, cell_start_k, packed,
     want_shift = spec.shifting is ShiftingMode.PLANAR
     n_keys = (1 + dims) * (1 + int(want_kernel) + int(want_shift))
     R = prog_rows(mpc)
+    R2 = sweep_rows(mpc)
     maxp = tables.prog_slot.shape[0]
 
     # ONE fused output block holding every key's lane-reduced row (sublane
     # dim padded to 8): a single XLA gather maps all outputs back to
-    # particle order, and the kernel stores one [K, R] tile per program.
+    # particle order, and the kernel stores one [K, R2] tile per program.
     k_pad = _round_up(n_keys, 8)
-    out_shapes = [jax.ShapeDtypeStruct((maxp, k_pad, R), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, k_pad, R), lambda b, *_: (b, 0, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((maxp, k_pad, R2), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, k_pad, R2), lambda b, *_: (b, 0, 0))]
 
     # Scalar prefetch: compacted occupied keys, cell_start, and the program
     # list - all 1-D SMEM; per-cell segment metadata is derived with scalar
@@ -768,6 +852,7 @@ def _invoke_kernel(spec, grid, mpc, cseg, tables, cell_start_k, packed,
     # its extra programs fail the is_live gate and no-op.
     nprog = tables.nprog if tables.nprog.ndim == 0 else tables.nprog[0]
     grid_size = maxp if interpret else nprog
+    cwin_buf = _round_up(_round_up(cseg + mpc, 128) + 128, CHUNK_W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(grid_size,),
@@ -777,10 +862,9 @@ def _invoke_kernel(spec, grid, mpc, cseg, tables, cell_start_k, packed,
         ],
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((R + 8, 128), jnp.float32),
-            pltpu.VMEM((S, nfields_pad, _round_up(cseg + 128, CHUNK_W)),
-                       jnp.float32),
-            pltpu.VMEM((n_keys, R, CHUNK_W), jnp.float32),
+            pltpu.VMEM((R2 + 8, 128), jnp.float32),
+            pltpu.VMEM((S, nfields_pad, cwin_buf), jnp.float32),
+            pltpu.VMEM((n_keys, R2, CHUNK_W), jnp.float32),
             pltpu.SemaphoreType.DMA((1 + S,)),
         ],
     )
@@ -882,10 +966,10 @@ def pallas_pair_sweep_sharded(
         raise ValueError(f"local capacity {C} and halo {H} must be multiples of 128")
     dims = position.shape[1]
     n_ext = C + 2 * H
-    if n_ext < _round_up(cseg + 128, CHUNK_W):
+    if n_ext < _round_up(cseg + mpc, 128) + 128:
         raise ValueError(
             f"extended window {n_ext} smaller than the candidate DMA window "
-            f"{_round_up(cseg + 128, CHUNK_W)}; raise the halo or capacity"
+            f"{_round_up(cseg + mpc, 128) + 128}; raise the halo or capacity"
         )
     if mpc % 8 != 0 or cseg % 128 != 0:
         raise ValueError("mpc must be a multiple of 8 and cseg of 128")
@@ -907,7 +991,14 @@ def pallas_pair_sweep_sharded(
     bwd = [(i + 1, i) for i in range(ndev - 1)]
     left = jax.lax.ppermute(packed[:, C - H:], ctx.axis, fwd)
     right = jax.lax.ppermute(packed[:, :H], ctx.axis, bwd)
-    packed_ext = jnp.concatenate([left, packed, right], axis=1)
+    # zero tail so the kernel's aligned DMA-window clamp (n - cwin) never
+    # binds on a live row: keeps the in-window lane offsets - and so the
+    # f32 summation order - bitwise-identical to the single-chip kernel
+    cwin = _round_up(cseg + mpc, 128) + 128
+    packed_ext = jnp.concatenate(
+        [left, packed, right,
+         jnp.zeros((packed.shape[0], cwin), jnp.float32)], axis=1
+    )
     nf = 2 * dims + 3
     nf_pad = _round_up(nf, 8)
     packedT_ext = jnp.pad(packed_ext.T, ((0, 0), (0, 128 - nf_pad)))
@@ -919,21 +1010,21 @@ def pallas_pair_sweep_sharded(
     base = ctx.rank() * C
     cs_ext = jnp.clip(cell_start - (base - H), 0, n_ext).astype(jnp.int32)
 
-    R = prog_rows(mpc)
-    maxp = maxc + n_ext // R + 1
+    R2 = sweep_rows(mpc)
+    maxp = maxc + n_ext // R2 + 1
     if tables is None:
         tables = make_local_program_tables(
-            cell_start, grid, maxc, R, base, C, n_ext,
-            particles.cell, particles.active, mpc,
+            cell_start, grid, maxc, R2, base, C, n_ext,
+            particles.cell, particles.active, mpc, pair=True,
         )
     if tables.prog_slot.shape[0] != maxp:
         raise ValueError(
             f"local program tables sized for maxp={tables.prog_slot.shape[0]},"
-            f" expected {maxp} (maxc={maxc}, ext capacity={n_ext}, R={R})"
+            f" expected {maxp} (maxc={maxc}, ext capacity={n_ext}, R2={R2})"
         )
 
     outs = _invoke_kernel(
-        spec, grid, mpc, cseg, tables, cs_ext, packed_ext, packedT_ext, n_ext,
-        dims, interpret,
+        spec, grid, mpc, cseg, tables, cs_ext, packed_ext, packedT_ext,
+        n_ext + cwin, dims, interpret,
     )
     return _gather_back(outs, spec, tables, particles.active, position.dtype)

@@ -56,7 +56,7 @@ def state_specs(axis: str = AXIS) -> SimulationState:
         pallas_tables=PallasTables(
             occ_keys=P(axis), prog_base=P(axis), prog_slot=P(axis),
             slot_of_cell=P(axis), nprog=P(axis), prog_idx=P(axis),
-            row_idx=P(axis),
+            row_idx=P(axis), slot_pair=P(axis),
         ),
         max_halo=P(),
     )
@@ -232,11 +232,11 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
             halo = 0  # slabs thinner than the stencil reach: 1 hop can't cover
 
     if halo > 0:
-        from ..ops.pallas_sweep import init_program_tables, prog_rows
+        from ..ops.pallas_sweep import init_program_tables, sweep_rows
 
         # per-device tables, stacked on the device axis (leading dim shards)
         C = new_cap // ndev
-        t = init_program_tables(cfg0.grid, cfg0.maxc, prog_rows(cfg0.mpc),
+        t = init_program_tables(cfg0.grid, cfg0.maxc, sweep_rows(cfg0.mpc),
                                 C + 2 * halo, local_rows=C)
         state = state.replace(
             pallas_tables=jax.tree.map(

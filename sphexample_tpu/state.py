@@ -138,11 +138,15 @@ class PallasTables:
     the sweep wall time when recomputed per call).  Sized (0,) when the
     Pallas path is off."""
 
-    occ_keys: jax.Array      # [maxc] int32 compacted occupied cell keys
+    occ_keys: jax.Array      # [maxc] int32 compacted occupied LEAD cell keys
     prog_base: jax.Array     # [maxc] int32 slot -> first program id
     prog_slot: jax.Array     # [maxp] int32 program id -> occupied slot
     slot_of_cell: jax.Array  # [ncells + 1] int32 cell key -> occupied slot
     nprog: jax.Array         # scalar int32 live program count (dynamic grid)
+    # cell-pair programs (sweep only): 1 when the slot covers cells
+    # {key, key+1} (x-adjacent, paired by x-parity - deterministic under
+    # sharding); the mDBC tables leave this all-zero
+    slot_pair: jax.Array     # [maxc] int32
     # gather-back indices: particle row -> (program block, row-in-block).
     # Pure functions of the sorted order, so rebuild-time as well.
     prog_idx: jax.Array      # [capacity] int32
@@ -154,7 +158,7 @@ def empty_pallas_tables() -> PallasTables:
     # leaves) stay valid for the table-less gather path
     z = jnp.zeros((0,), dtype=jnp.int32)
     return PallasTables(occ_keys=z, prog_base=z, prog_slot=z, slot_of_cell=z,
-                        nprog=z, prog_idx=z, row_idx=z)
+                        nprog=z, prog_idx=z, row_idx=z, slot_pair=z)
 
 
 @struct.dataclass

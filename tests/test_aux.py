@@ -442,11 +442,11 @@ def test_auto_retune_pallas_tables(tmp_path):
     sim = run_sim(sim, max_intervals=2)
     assert sim.cfg.mpc > mpc0, "expected a retune to fire"
     # tables re-initialized to the grown shapes and refreshed by the replay
-    from sphexample_tpu.ops.pallas_sweep import prog_rows
+    from sphexample_tpu.ops.pallas_sweep import sweep_rows
 
     expected_maxp = (
         sim.cfg.maxc
-        + sim.state.particles.capacity // prog_rows(sim.cfg.mpc) + 1
+        + sim.state.particles.capacity // sweep_rows(sim.cfg.mpc) + 1
     )
     assert sim.state.pallas_tables.prog_slot.shape[0] == expected_maxp
     assert int(sim.state.pallas_tables.nprog) > 0

@@ -43,7 +43,7 @@ def test_pallas_multi_chunk_dense_cluster():
     parts = allocate_particles(
         pos, rng.uniform(990, 1040, n), np.ones(n, np.int32),
         np.ones(n, np.int32), np.arange(1, n + 1),
-        dtype=jnp.float32, capacity=512,
+        dtype=jnp.float32, capacity=1024,
     )
     parts = parts.replace(pressure=eq.pressure(parts.density, const))
     grid = cl.grid_from_positions(pos, kern.H_inv, margin_cells=3)

@@ -105,8 +105,8 @@ def main():
 
     tables = jax.jit(
         lambda cs_: ps.make_program_tables(
-            cs_, cfg.grid, cfg.maxc, ps.prog_rows(cfg.mpc), p2.capacity,
-            p2.cell, p2.active, cfg.mpc)
+            cs_, cfg.grid, cfg.maxc, ps.sweep_rows(cfg.mpc), p2.capacity,
+            p2.cell, p2.active, cfg.mpc, pair=True)
     )(cs)
 
     def sweep_loop():
@@ -162,20 +162,24 @@ def main():
             gstrides = grid.strides
             rows_np = _srows(dims)
 
+            R2 = 2 * R
+
             def kernel(occ_keys_ref, cell_start_ref, prog_slot_ref,
                        prog_base_ref, packed_hbm, packedT_hbm,
                        mom_out, selfT_buf, cand_buf, acc_ref, sem):
                 b = _pl.program_id(0)
                 slot = prog_slot_ref[b]
-                key = occ_keys_ref[slot]
+                key_enc = occ_keys_ref[slot]
+                key = key_enc >> 1
+                pairflag = key_enc & 1
                 is_live = key < ncells
                 keyc = _jnp.minimum(key, ncells - 1)
                 chunk = b - prog_base_ref[slot]
-                s0_cell = cell_start_ref[keyc]
-                cnt_cell = _jnp.where(
-                    is_live, cell_start_ref[keyc + 1] - s0_cell, 0)
-                s0 = s0_cell + chunk * R
-                cnt = _jnp.clip(cnt_cell - chunk * R, 0, R)
+                csA = cell_start_ref[keyc]
+                ceB = cell_start_ref[keyc + 1 + pairflag]
+                cnt_unit = _jnp.where(is_live, ceB - csA, 0)
+                s0 = csA + chunk * R2
+                cnt = _jnp.clip(cnt_unit - chunk * R2, 0, R2)
                 is_live = is_live & (cnt > 0)
 
                 if mode == "launch":
@@ -190,15 +194,16 @@ def main():
                     rel.append(rem_k % gshape[d_i])
                     rem_k = rem_k // gshape[d_i]
                 x_lo = _jnp.clip(rel[0] - 1, 0, gshape[0] - 1)
-                x_hi = _jnp.clip(rel[0] + 1, 0, gshape[0] - 1)
-                cwin = cseg + 128  # DMA width; buffer tail is zeroed by the real kernel
+                x_hi = _jnp.clip(rel[0] + 1 + pairflag, 0, gshape[0] - 1)
+                # DMA width (pair window); buffer tail zeroed by real kernel
+                cwin = -(-(cseg + mpc) // 128) * 128 + 128
 
                 @_pl.when(is_live)
                 def _body():
                     s08 = _pl.multiple_of(_jnp.maximum(
-                        _jnp.minimum((s0 // 8) * 8, n - (R + 8)), 0), 8)
+                        _jnp.minimum((s0 // 8) * 8, n - (R2 + 8)), 0), 8)
                     cp = _pltpu.make_async_copy(
-                        packedT_hbm.at[_pl.ds(s08, R + 8)], selfT_buf,
+                        packedT_hbm.at[_pl.ds(s08, R2 + 8)], selfT_buf,
                         sem.at[0])
                     cp.start()
                     seg_rs, seg_re, seg_al = [], [], []
