@@ -24,7 +24,7 @@ from sphexample_tpu.ops.pallas_sweep import pallas_pair_sweep
 from sphexample_tpu.state import allocate_particles
 
 
-def _setup(dims, n=220, seed=3, capacity=512, family=KernelFamily.WENDLAND_C2):
+def _setup(dims, n=220, seed=3, capacity=1024, family=KernelFamily.WENDLAND_C2):
     rng = np.random.default_rng(seed)
     const = SimulationConstants(dx=0.05, cfl=0.5)
     kern = make_kernel(family, dims, dx=const.dx)
