@@ -162,6 +162,30 @@ def empty_pallas_tables() -> PallasTables:
 
 
 @struct.dataclass
+class BlockTables:
+    """Rebuild-time tables for the block-structured Pallas sweep
+    (``ops/pallas_block_sweep.py``): one flat chunk list driving the
+    kernel's streaming DMA pipeline, plus the per-row constants the pack
+    carries as extra field lanes.  Pure functions of ``cell_start`` + the
+    sorted order, refreshed at every lazy rebuild."""
+
+    prog_start: jax.Array   # [maxb + 1] int32 block -> first flat chunk
+    chunk_off: jax.Array    # [ct_cap] int32 8-aligned sorted-row DMA offsets
+    chunk_vv: jax.Array     # [ct_cap] int32 vstart * 256 + vend row validity
+    csr: jax.Array          # [capacity] f32 own-cell start (role quirk)
+    cer: jax.Array          # [capacity] f32 own-cell end
+    idx: jax.Array          # [capacity] f32 sorted index (exact <= 2^24)
+    chunk_total: jax.Array  # scalar int32 - chunks needed (overflow telemetry)
+
+
+def empty_block_tables() -> BlockTables:
+    z = jnp.zeros((0,), dtype=jnp.int32)
+    zf = jnp.zeros((0,), dtype=jnp.float32)
+    return BlockTables(prog_start=z, chunk_off=z, chunk_vv=z, csr=zf, cer=zf,
+                       idx=zf, chunk_total=jnp.zeros((), jnp.int32))
+
+
+@struct.dataclass
 class SimulationState:
     """Full on-device simulation state: particles + neighbor structure + the
     mutable counters the reference keeps in ``SimulationMetaData``."""

@@ -1,0 +1,207 @@
+"""Block-structured Pallas sweep vs the XLA gather sweep (interpret mode).
+
+Same parity matrix as test_pallas_sweep.py, plus block-specific edge cases:
+tight chunk-table capacity, blocks straddling (y,z)-row boundaries, sparse
+sheets (multi-row blocks exercising the coalesced-run cover), and the
+inactive tail.  The Pallas path computes in f32; comparisons are at f32
+tolerance against the XLA path on the same f32 inputs.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphexample_tpu.config import (
+    DensityDiffusionModel,
+    KernelFamily,
+    KernelOutputMode,
+    ShiftingMode,
+    SimulationConstants,
+    ViscosityModel,
+    make_kernel,
+)
+from sphexample_tpu.models import equations as eq
+from sphexample_tpu.ops import cell_list as cl
+from sphexample_tpu.ops import pallas_block_sweep as pbs
+from sphexample_tpu.ops.interactions import PhysicsSpec, pair_sweep
+from sphexample_tpu.state import allocate_particles
+
+
+def _assemble(pos, dens, vel, const, kern, capacity, seed=0):
+    n = len(dens)
+    rng = np.random.default_rng(seed)
+    parts = allocate_particles(
+        pos, dens, rng.choice([1, 2], size=n).astype(np.int32),
+        np.ones(n, np.int32), np.arange(1, n + 1),
+        dtype=jnp.float32, capacity=capacity,
+    )
+    vel_full = np.zeros((capacity, pos.shape[1]))
+    vel_full[:n] = vel
+    parts = parts.replace(velocity=jnp.asarray(vel_full, dtype=jnp.float32))
+    parts = parts.replace(pressure=eq.pressure(parts.density, const))
+    grid = cl.grid_from_positions(pos, kern.H_inv, margin_cells=3)
+    sorted_p, cell_start, _ = cl.rebuild(parts, kern.H_inv, grid)
+    return grid, sorted_p, cell_start
+
+
+def _setup(dims, n=220, seed=3, capacity=1024,
+           family=KernelFamily.WENDLAND_C2):
+    rng = np.random.default_rng(seed)
+    const = SimulationConstants(dx=0.05, cfl=0.5)
+    kern = make_kernel(family, dims, dx=const.dx)
+    side = int(np.ceil(n ** (1 / dims)))
+    coords = np.stack(
+        np.meshgrid(*([np.arange(side) * const.dx] * dims), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, dims)[:n]
+    pos = coords + rng.uniform(-0.4, 0.4, size=(n, dims)) * const.dx
+    pos -= pos.mean(axis=0)
+    dens = rng.uniform(990, 1040, size=n)
+    vel = rng.normal(0, 0.5, size=(n, dims))
+    grid, p, cs = _assemble(pos, dens, vel, const, kern, capacity, seed)
+    return const, kern, grid, p, cs
+
+
+def _compare(out, ref):
+    scale_d = float(np.abs(np.asarray(ref.drhodt)).max()) + 1e-6
+    scale_a = float(np.abs(np.asarray(ref.acceleration)).max()) + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(out.drhodt), np.asarray(ref.drhodt),
+        rtol=2e-5, atol=2e-5 * scale_d,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.acceleration), np.asarray(ref.acceleration),
+        rtol=2e-5, atol=2e-5 * scale_a,
+    )
+    if ref.kernel_w is not None:
+        np.testing.assert_allclose(
+            np.asarray(out.kernel_w), np.asarray(ref.kernel_w),
+            rtol=2e-5, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.kernel_grad), np.asarray(ref.kernel_grad),
+            rtol=2e-5,
+            atol=2e-5 * float(np.abs(np.asarray(ref.kernel_grad)).max() + 1e-6),
+        )
+    if ref.grad_c is not None:
+        np.testing.assert_allclose(
+            np.asarray(out.grad_c), np.asarray(ref.grad_c), rtol=2e-5,
+            atol=2e-5 * float(np.abs(np.asarray(ref.grad_c)).max() + 1e-6),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.div_r), np.asarray(ref.div_r),
+            rtol=2e-5, atol=1e-4,
+        )
+
+
+@pytest.mark.parametrize("dims", [2, 3])
+@pytest.mark.parametrize(
+    "visc,diff,family",
+    [
+        (ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+         KernelFamily.WENDLAND_C2),
+        (ViscosityModel.LAMINAR_SPS, DensityDiffusionModel.ZERO_GRAVITY_LINEAR,
+         KernelFamily.WENDLAND_C2),
+        (ViscosityModel.ZERO, DensityDiffusionModel.ZERO,
+         KernelFamily.WENDLAND_C2),
+        (ViscosityModel.ARTIFICIAL, DensityDiffusionModel.COMPLEX,
+         KernelFamily.WENDLAND_C2),
+        (ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+         KernelFamily.CUBIC_SPLINE),
+    ],
+)
+def test_block_sweep_matches_xla(dims, visc, diff, family):
+    const, kern, grid, p, cell_start = _setup(dims, family=family)
+    spec = PhysicsSpec(
+        constants=const, kernel=kern, viscosity=visc, diffusion=diff,
+        shifting=ShiftingMode.PLANAR, kernel_output=KernelOutputMode.STORE,
+    )
+    ref = pair_sweep(
+        spec, grid, 256, 64, p, cell_start,
+        p.position, p.density, p.pressure, p.velocity,
+    )
+    out = pbs.pallas_block_sweep(
+        spec, grid, 2048, p, cell_start,
+        p.position, p.density, p.pressure, p.velocity,
+        interpret=True,
+    )
+    _compare(out, ref)
+
+
+def test_block_sweep_sparse_sheet():
+    """A thin 1-cell-wide wall sheet: blocks span many (y,z) rows and
+    exercise the coalesced multi-row run cover."""
+    rng = np.random.default_rng(7)
+    const = SimulationConstants(dx=0.05, cfl=0.5)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 3, dx=const.dx)
+    # x fixed (one cell column), particles spread in y/z
+    n = 300
+    pos = np.stack([
+        rng.uniform(-0.02, 0.02, n),
+        rng.uniform(-0.6, 0.6, n),
+        rng.uniform(-0.6, 0.6, n),
+    ], axis=1)
+    dens = rng.uniform(990, 1040, n)
+    vel = rng.normal(0, 0.5, (n, 3))
+    grid, p, cs = _assemble(pos, dens, vel, const, kern, 512)
+    spec = PhysicsSpec(
+        constants=const, kernel=kern, viscosity=ViscosityModel.ARTIFICIAL,
+        diffusion=DensityDiffusionModel.LINEAR,
+    )
+    ref = pair_sweep(spec, grid, 256, 64, p, cs,
+                     p.position, p.density, p.pressure, p.velocity)
+    out = pbs.pallas_block_sweep(
+        spec, grid, 4096, p, cs,
+        p.position, p.density, p.pressure, p.velocity, interpret=True,
+    )
+    _compare(out, ref)
+
+
+def test_block_sweep_crowded_cells():
+    """Many particles piled into few cells: long runs, many chunks per run,
+    chunk [vstart, vend) dedup across 8-aligned window overlap."""
+    rng = np.random.default_rng(11)
+    const = SimulationConstants(dx=0.05, cfl=0.5)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 3, dx=const.dx)
+    n = 400
+    pos = rng.uniform(-0.13, 0.13, (n, 3))  # ~3 cells across
+    dens = rng.uniform(990, 1040, n)
+    vel = rng.normal(0, 0.5, (n, 3))
+    grid, p, cs = _assemble(pos, dens, vel, const, kern, 512)
+    spec = PhysicsSpec(
+        constants=const, kernel=kern, viscosity=ViscosityModel.ARTIFICIAL,
+        diffusion=DensityDiffusionModel.COMPLEX,
+    )
+    ref = pair_sweep(spec, grid, 512, 64, p, cs,
+                     p.position, p.density, p.pressure, p.velocity)
+    out = pbs.pallas_block_sweep(
+        spec, grid, 4096, p, cs,
+        p.position, p.density, p.pressure, p.velocity, interpret=True,
+    )
+    _compare(out, ref)
+
+
+def test_block_tables_overflow_telemetry():
+    """chunk_total reports the real need even when ct_cap truncates."""
+    const, kern, grid, p, cell_start = _setup(3)
+    full = pbs.make_block_tables(cell_start, p.cell, p.active, grid,
+                                 p.capacity, 4096)
+    need = int(full.chunk_total)
+    assert 0 < need < 4096
+    tight = pbs.make_block_tables(cell_start, p.cell, p.active, grid,
+                                  p.capacity, 64)
+    assert int(tight.chunk_total) == need  # telemetry unaffected by clamp
+    assert int(tight.prog_start.max()) <= 64
+
+
+def test_block_estimate_covers_initial():
+    """Host-side ct_cap estimate matches the jitted builder on the initial
+    configuration."""
+    const, kern, grid, p, cell_start = _setup(3)
+    t = pbs.make_block_tables(cell_start, p.cell, p.active, grid,
+                              p.capacity, 8192)
+    est = pbs.estimate_chunk_total(
+        np.asarray(p.position[np.asarray(p.active)]), kern.H_inv, grid,
+        p.capacity,
+    )
+    assert est == int(t.chunk_total)
