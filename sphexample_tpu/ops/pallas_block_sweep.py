@@ -67,6 +67,12 @@ DEPTH = 12
 # spanning <= NS (y,z)-rows get exact one-row runs; sparser blocks get
 # coalesced multi-row runs (correct by the d2 argument, just wider).
 NS = 10
+# Lane groups per block: selves are split at the first (y,z)-row boundary
+# and each group gets its own tight cover (a block straddling a row boundary
+# otherwise unions the x-extents of both rows - measured 23% of blocks
+# producing 49% of all chunks on the headline case).  Chunks carry the lane
+# interval [l0, l1) of their group; other lanes are masked.
+NG = 2
 
 
 def _round_up(x: int, m: int) -> int:
@@ -80,7 +86,7 @@ def n_blocks(capacity: int) -> int:
 
 
 def _num_runs(dims: int) -> int:
-    return 3 * NS if dims == 3 else NS
+    return NG * (3 * NS if dims == 3 else NS)
 
 
 def make_block_tables(cell_start, cells, active, grid: Grid,
@@ -88,11 +94,16 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     """Flat chunk table for the block sweep - a pure function of the cell
     list, computed once per lazy rebuild.
 
-    For every 128-row block of the sorted array: the stencil cover of its
-    selves is (rows [ra-1, rb+1] + {0, +-ny} in combined row index r = y +
-    ny*z) x (x-cells [xmin-1, xmax+1]).  Each of the <= 3 disjoint row-ranges
-    is split into NS slots; each slot becomes one contiguous sorted-row run
-    [s, e), chunked into ceil((e - floor8(s)) / CH) DMA windows.  Chunk
+    For every 128-row block of the sorted array, the selves are split into
+    NG=2 lane groups at the first (y,z)-row boundary (group A = the lanes in
+    the block's first combined row r = y + ny*z, group B = the rest); each
+    group's stencil cover is (rows [ra-1, rb+1] + {0, +-ny} of ITS row span)
+    x (x-cells [xmin-1, xmax+1] of ITS lanes).  Without the split, a block
+    straddling a row boundary unions the x-extents of the row tail and the
+    next row head - nearly the whole row.  Each of the <= 3 disjoint
+    row-ranges per group is split into NS slots; each slot becomes one
+    contiguous sorted-row run [s, e), chunked into ceil((e - floor8(s)) / CH)
+    DMA windows tagged with the group's lane interval [l0, l1).  Chunk
     validity [vstart, vend) dedups the 8-aligned window overlap against
     neighboring runs and excludes the inactive tail; everything else inside
     a window is masked by the kernel-support cutoff (see module docstring).
@@ -123,39 +134,61 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     big = jnp.int32(ncells)
     kmin = jnp.min(jnp.where(ab, kb, big), axis=1)      # sorted -> first key
     kmax = jnp.max(jnp.where(ab, kb, -1), axis=1)
-    xmin = jnp.min(jnp.where(ab, kb % nx, nx), axis=1)
-    xmax = jnp.max(jnp.where(ab, kb % nx, -1), axis=1)
-    xlo = jnp.clip(xmin - 1, 0, nx - 1)
-    xhi = jnp.clip(xmax + 1, 0, nx - 1)
     ra = kmin // nx
     rb = kmax // nx
 
-    # disjoint row-ranges covering {r + dy + ny*dz : r in [ra, rb]}
-    if grid.dims == 3:
-        lo1, hi1 = ra - 1 - ny, jnp.minimum(rb + 1 - ny, ra - 2)
-        lo2, hi2 = ra - 1, rb + 1
-        lo3, hi3 = jnp.maximum(ra - 1 + ny, rb + 2), rb + 1 + ny
-        ranges = [(lo1, hi1), (lo2, hi2), (lo3, hi3)]
-    else:
-        ranges = [(ra - 1, rb + 1)]
+    # Lane groups: A = active lanes in the block's FIRST (y,z)-row (a lane
+    # prefix, since the arrays are key-sorted), B = the rest.  Each group
+    # covers only its own row span and x-extent; inactive keys sit at
+    # ncells, whose row (nrows) never equals a valid ra.
+    rowb = kb // nx
+    mA = ab & (rowb == ra[:, None])
+    cut = jnp.sum(mA, axis=1).astype(jnp.int32)         # [maxb]
+    mB = ab & (rowb > ra[:, None])
 
-    run_s, run_e = [], []
+    def _extent(m, lo_row, hi_row):
+        anyg = jnp.any(m, axis=1)
+        xmin = jnp.min(jnp.where(m, kb % nx, nx), axis=1)
+        xmax = jnp.max(jnp.where(m, kb % nx, -1), axis=1)
+        return (anyg, lo_row, hi_row,
+                jnp.clip(xmin - 1, 0, nx - 1), jnp.clip(xmax + 1, 0, nx - 1))
+
+    kminB = jnp.min(jnp.where(mB, kb, big), axis=1)
+    groups = [
+        _extent(mA, ra, ra) + (jnp.zeros_like(cut), cut),
+        _extent(mB, kminB // nx, rb) + (cut, jnp.full_like(cut, BLOCK)),
+    ]
+
+    run_s, run_e, run_ll = [], [], []
     j = jnp.arange(NS, dtype=jnp.int32)[None, :]        # [1, NS]
-    for lo, hi in ranges:
-        lo = jnp.clip(lo, 0, nrows - 1)[:, None]
-        hi = jnp.clip(hi, -1, nrows - 1)[:, None]
-        L = jnp.maximum(hi - lo + 1, 0)                 # [maxb, 1]
-        u = lo + (j * L) // NS
-        v = lo + ((j + 1) * L) // NS - 1                # v < u -> empty slot
-        live = (v >= u) & any_act[:, None]
-        k_lo = jnp.clip(xlo[:, None] + nx * u, 0, ncells - 1)
-        k_hi = jnp.clip(xhi[:, None] + nx * v, 0, ncells - 1)
-        s = jnp.where(live, cell_start[k_lo], 0)
-        e = jnp.where(live, cell_start[k_hi + 1], 0)
-        run_s.append(s)
-        run_e.append(e)
+    for any_g, ra_g, rb_g, xlo, xhi, l0, l1 in groups:
+        # disjoint row-ranges covering {r + dy + ny*dz : r in [ra_g, rb_g]}
+        if grid.dims == 3:
+            ranges = [
+                (ra_g - 1 - ny, jnp.minimum(rb_g + 1 - ny, ra_g - 2)),
+                (ra_g - 1, rb_g + 1),
+                (jnp.maximum(ra_g - 1 + ny, rb_g + 2), rb_g + 1 + ny),
+            ]
+        else:
+            ranges = [(ra_g - 1, rb_g + 1)]
+        ll = (l0 * 256 + l1)[:, None] * jnp.ones((1, NS), jnp.int32)
+        for lo, hi in ranges:
+            lo = jnp.clip(lo, 0, nrows - 1)[:, None]
+            hi = jnp.clip(hi, -1, nrows - 1)[:, None]
+            L = jnp.maximum(hi - lo + 1, 0)             # [maxb, 1]
+            u = lo + (j * L) // NS
+            v = lo + ((j + 1) * L) // NS - 1            # v < u -> empty slot
+            live = (v >= u) & any_g[:, None]
+            k_lo = jnp.clip(xlo[:, None] + nx * u, 0, ncells - 1)
+            k_hi = jnp.clip(xhi[:, None] + nx * v, 0, ncells - 1)
+            s = jnp.where(live, cell_start[k_lo], 0)
+            e = jnp.where(live, cell_start[k_hi + 1], 0)
+            run_s.append(s)
+            run_e.append(e)
+            run_ll.append(ll)
     s = jnp.concatenate(run_s, axis=1).reshape(-1)      # [maxb * NR]
     e = jnp.concatenate(run_e, axis=1).reshape(-1)
+    ll = jnp.concatenate(run_ll, axis=1).reshape(-1)
 
     s8 = (s // 8) * 8
     nch = jnp.where(e > s, -(-(e - s8) // CH), 0)       # [maxb * NR]
@@ -177,7 +210,8 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     vend = jnp.clip(e[rid] - off8, 0, CH)
     dead = t >= jnp.minimum(total, ct_cap)
     off8 = jnp.where(dead, 0, off8)
-    vv = jnp.where(dead, 0, vstart * 256 + vend)
+    # chunk code: ((vstart * 256 + vend) * 256 + l0) * 256 + l1
+    vv = jnp.where(dead, 0, (vstart * 256 + vend) * 65536 + ll[rid])
 
     return BlockTables(
         prog_start=prog_start,
@@ -222,38 +256,49 @@ def estimate_chunk_total(position: np.ndarray, inv_cutoff: float,
     total = 0
     for b0 in range(0, n, BLOCK):
         kb = key[b0:b0 + BLOCK]
-        xmn, xmx = (kb % nx).min(), (kb % nx).max()
-        xlo, xhi = max(xmn - 1, 0), min(xmx + 1, nx - 1)
-        ra, rb = kb[0] // nx, kb[-1] // nx
-        if grid.dims == 3:
-            rngs = [(ra - 1 - ny, min(rb + 1 - ny, ra - 2)), (ra - 1, rb + 1),
-                    (max(ra - 1 + ny, rb + 2), rb + 1 + ny)]
-        else:
-            rngs = [(ra - 1, rb + 1)]
-        for lo, hi in rngs:
-            lo, hi = max(lo, 0), min(hi, nrows - 1)
-            L = hi - lo + 1
-            if L <= 0:
+        rowb = kb // nx
+        cut = int(np.searchsorted(rowb, rowb[0], side="right"))
+        for g in (kb[:cut], kb[cut:]):
+            if len(g) == 0:
                 continue
-            for jj in range(NS):
-                u = lo + (jj * L) // NS
-                v = lo + ((jj + 1) * L) // NS - 1
-                if v < u:
+            xmn, xmx = (g % nx).min(), (g % nx).max()
+            xlo, xhi = max(xmn - 1, 0), min(xmx + 1, nx - 1)
+            ra, rb = g[0] // nx, g[-1] // nx
+            if grid.dims == 3:
+                rngs = [(ra - 1 - ny, min(rb + 1 - ny, ra - 2)),
+                        (ra - 1, rb + 1),
+                        (max(ra - 1 + ny, rb + 2), rb + 1 + ny)]
+            else:
+                rngs = [(ra - 1, rb + 1)]
+            for lo, hi in rngs:
+                lo, hi = max(lo, 0), min(hi, nrows - 1)
+                L = hi - lo + 1
+                if L <= 0:
                     continue
-                s = cs[xlo + nx * u]
-                e = cs[min(xhi + nx * v, ncells - 1) + 1]
-                if e > s:
-                    total += -(-(e - (s // 8) * 8) // CH)
+                for jj in range(NS):
+                    u = lo + (jj * L) // NS
+                    v = lo + ((jj + 1) * L) // NS - 1
+                    if v < u:
+                        continue
+                    s = cs[xlo + nx * u]
+                    e = cs[min(xhi + nx * v, ncells - 1) + 1]
+                    if e > s:
+                        total += -(-(e - (s // 8) * 8) // CH)
     return int(total)
 
 
 def pack_block_fields(position, velocity, density, pressure, ml, tables):
-    """Row-major pack [N, 128]: phys fields + sorted index + own-cell bounds
-    (rebuild-constant, from the tables).  The lane-major self view is its
-    transposed 16-lane head."""
-    cols = [position, velocity, density[:, None], pressure[:, None],
-            ml[:, None], tables.idx[:, None], tables.csr[:, None],
-            tables.cer[:, None]]
+    """Row-major pack [N, 128]: phys fields + guarded reciprocal density +
+    sorted index + own-cell bounds (rebuild-constant, from the tables).  The
+    lane-major self view is its transposed 16-lane head.
+
+    The density field is stored GUARDED (padded slots carry 1.0, never 0)
+    and its reciprocal is packed alongside so the kernel does no divisions
+    or zero-guards per chunk (`_pair_math(rcps=...)`)."""
+    rho_g = jnp.where(density > 0.0, density, jnp.ones_like(density))
+    cols = [position, velocity, rho_g[:, None], pressure[:, None],
+            ml[:, None], (1.0 / rho_g)[:, None], tables.idx[:, None],
+            tables.csr[:, None], tables.cer[:, None]]
     rowmajor = jnp.concatenate([c.astype(jnp.float32) for c in cols], axis=1)
     w = rowmajor.shape[1]
     packedT = jnp.pad(rowmajor, ((0, 0), (0, 128 - w)))
@@ -265,7 +310,8 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
     want_kernel = spec.kernel_output is KernelOutputMode.STORE
     want_shift = spec.shifting is ShiftingMode.PLANAR
     nfields = 2 * dims + 3
-    IDX, CSR, CER = nfields, nfields + 1, nfields + 2
+    RCP, IDX = nfields, nfields + 1
+    CSR, CER = nfields + 2, nfields + 3
 
     keys = ["drho"] + [f"dvdt{r}" for r in range(dims)]
     if want_kernel:
@@ -312,13 +358,21 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
 
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        # self quantities: [1, 128] lane rows (one VMEM slice each)
-        self_f = [self_blk[f : f + 1, :] for f in range(nfields)]
-        idx_i = self_blk[IDX : IDX + 1, :]
-        cs_i = self_blk[CSR : CSR + 1, :]
-        ce_i = self_blk[CER : CER + 1, :]
+        # Self quantities, hoisted out of the chunk loop as DENSE [CH, 128]
+        # tiles: a [1, 128] row used in a mixed op would be sublane-broadcast
+        # at every consumer; materializing once per program amortizes it over
+        # every chunk (loop-invariant closure capture).
+        def dense_self(f):
+            return jnp.broadcast_to(self_blk[f : f + 1, :], (CH, BLOCK))
 
-        sub = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
+        self_f = [dense_self(f) for f in range(nfields)]
+        rcp_i = dense_self(RCP)
+        idx_i = dense_self(IDX)
+        cs_i = dense_self(CSR)
+        ce_i = dense_self(CER)
+
+        sub = jax.lax.broadcasted_iota(jnp.int32, (CH, BLOCK), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (CH, BLOCK), 1)
 
         def body(g, c):
             slot = jax.lax.rem(g, jnp.int32(NBUF))
@@ -330,13 +384,26 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
                 copy_for(ga, jax.lax.rem(ga, jnp.int32(NBUF))).start()
             copy_for(g, slot).wait()
 
+            # decode ((vs * 256 + ve) * 256 + l0) * 256 + l1
             vv = chunk_vv_ref[g]
-            vs = vv // 256
-            ve = jax.lax.rem(vv, jnp.int32(256))
+            vs = vv // 16777216
+            ve = jax.lax.rem(vv // 65536, jnp.int32(256))
+            l0 = jax.lax.rem(vv // 256, jnp.int32(256))
+            l1 = jax.lax.rem(vv, jnp.int32(256))
             buf = cand_buf[slot]                        # [CH, 128]
-            cand_f = [buf[:, f : f + 1] for f in range(nfields)]
-            idx_j = buf[:, IDX : IDX + 1]               # [CH, 1]
-            within = (sub >= vs) & (sub < ve)           # [CH, 1]
+
+            # Candidate columns are [CH, 1]: on TPU that is 8 nearly-empty
+            # vregs - the same vreg cost as a full tile - and every mixed op
+            # would lane-broadcast it again.  Materialize each field ONCE as
+            # a dense [CH, 128] tile; all pair math then runs on dense vregs.
+            def dense_cand(f):
+                return jnp.broadcast_to(buf[:, f : f + 1], (CH, BLOCK))
+
+            cand_f = [dense_cand(f) for f in range(nfields)]
+            rcp_j = dense_cand(RCP)
+            idx_j = dense_cand(IDX)
+            within = ((sub >= vs) & (sub < ve)
+                      & (lane >= l0) & (lane < l1))      # dense [CH, 128]
             if want_kernel:
                 # self-pair exclusion: only the kernel sum W survives at
                 # d2 == 0, so the index test is only needed in STORE mode
@@ -348,7 +415,7 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
             same_cell = (idx_j >= cs_i) & (idx_j < ce_i)
             i_is_role_i = ~(same_cell ^ (idx_i < idx_j))
             terms = _pair_math(spec, dims, self_f, cand_f, i_is_role_i,
-                               within)
+                               within, rcps=(rcp_i, rcp_j))
             for k, key in enumerate(keys):
                 t = terms[key]                          # [CH, 128]
                 t = t[0:CH // 2] + t[CH // 2 : CH]

@@ -306,7 +306,8 @@ def _w_value(kern, q):
     return aD * (inner + outer)
 
 
-def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
+def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within,
+               rcps=None):
     """All per-pair physics on [R, L] tiles (sublane = self particle, lane =
     candidate) - plain VPU elementwise ops that Mosaic lowers directly.
 
@@ -351,13 +352,20 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within):
     d2 = sum(x * x for x in xij)
     within = within & (d2 <= kern.H2)
 
-    # Reciprocal guards at rank 1: padded HBM slots carry rho == 0 (their
-    # lanes/rows are masked, but the division must stay finite so that
-    # mask * value is 0, not NaN).  Real densities are always ~rho0 > 0.
-    rho_j = jnp.where(rho_j > 0.0, rho_j, jnp.ones_like(rho_j))    # [1, L]
-    rcp_rho_j = 1.0 / rho_j
-    rho_i = jnp.where(rho_i > 0.0, rho_i, jnp.ones_like(rho_i))    # [R, 1]
-    rcp_rho_i = 1.0 / rho_i
+    if rcps is None:
+        # Reciprocal guards at rank 1: padded HBM slots carry rho == 0
+        # (their lanes/rows are masked, but the division must stay finite so
+        # that mask * value is 0, not NaN).  Real densities are ~rho0 > 0.
+        rho_j = jnp.where(rho_j > 0.0, rho_j, jnp.ones_like(rho_j))  # [1, L]
+        rcp_rho_j = 1.0 / rho_j
+        rho_i = jnp.where(rho_i > 0.0, rho_i, jnp.ones_like(rho_i))  # [R, 1]
+        rcp_rho_i = 1.0 / rho_i
+    else:
+        # Caller supplies precomputed reciprocals (and guarantees the rho
+        # fields themselves are already guarded: padded slots carry 1.0) -
+        # the block kernel packs both at XLA pack time, where the divide
+        # costs one dense [N] op instead of per-chunk sparse-vreg work.
+        rcp_rho_i, rcp_rho_j = rcps
 
     d = jnp.sqrt(d2)
     q = d * kern.h_inv

@@ -171,7 +171,8 @@ class BlockTables:
 
     prog_start: jax.Array   # [maxb + 1] int32 block -> first flat chunk
     chunk_off: jax.Array    # [ct_cap] int32 8-aligned sorted-row DMA offsets
-    chunk_vv: jax.Array     # [ct_cap] int32 vstart * 256 + vend row validity
+    chunk_vv: jax.Array     # [ct_cap] int32 ((vs*256+ve)*256+l0)*256+l1 code:
+                            # row validity [vs, ve) + lane group [l0, l1)
     csr: jax.Array          # [capacity] f32 own-cell start (role quirk)
     cer: jax.Array          # [capacity] f32 own-cell end
     idx: jax.Array          # [capacity] f32 sorted index (exact <= 2^24)
