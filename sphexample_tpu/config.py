@@ -288,6 +288,11 @@ class SimulationMetaData:
     max_occupied_cells: Optional[int] = None  # Pallas occupied-cell cap (auto)
     block_size: int = 1024  # particle chunking for the pair sweep
     use_pallas: bool = False  # fused Pallas pair kernel (TPU only)
+    # Single-chip hot path: the block-structured sweep (ops/pallas_block_sweep,
+    # one program per 128 sorted rows, flat chunk table, no gather-back).
+    # False falls back to the cell-pair program kernel (ops/pallas_sweep) -
+    # which remains the sharded-halo path either way.
+    block_sweep: bool = True
     # Cap on steps per device program; the host loops chunks per interval.
     # Long single executions can trip remote-worker watchdogs (~60 s on the
     # tunneled TPU).  64 steps of the 160k headline case is ~5 s per program

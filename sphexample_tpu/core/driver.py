@@ -140,6 +140,18 @@ def assemble_simulation(
         shifting=meta.shifting,
         kernel_output=meta.kernel_output,
     )
+    ct_cap = 0
+    if meta.use_pallas and meta.block_sweep:
+        # block-sweep chunk budget from the measured initial cover with 2x
+        # headroom (compression during impact grows neighbor counts and
+        # therefore chunks; the max_chunks telemetry retunes on overflow)
+        from ..ops.pallas_block_sweep import estimate_chunk_total
+
+        est = estimate_chunk_total(
+            position, kernel.H_inv, grid, int(particles.capacity)
+        )
+        ct_cap = -(-(int(est * 2.0) + 1024) // 1024) * 1024
+
     cfg = StepConfig(
         spec=spec,
         meta=meta,
@@ -156,17 +168,26 @@ def assemble_simulation(
             else min(grid.ncells, int(particles.capacity),
                      (int(ncc0 * 2.0) + 64) if meta.use_pallas else 10**9)
         ),
+        ct_cap=ct_cap,
     )
 
-    if meta.use_pallas:
+    from ..state import empty_block_tables, empty_pallas_tables
+
+    btables = empty_block_tables()
+    if ct_cap > 0:
+        # block path: the cell-pair program tables are unused single-chip
+        # (mDBC has its own kernel; sharding re-inits tables per slab)
+        from ..ops.pallas_block_sweep import init_block_tables
+
+        tables = empty_pallas_tables()
+        btables = init_block_tables(int(particles.capacity), ct_cap)
+    elif meta.use_pallas:
         from ..ops.pallas_sweep import init_program_tables, sweep_rows
 
         tables = init_program_tables(
             grid, cfg.maxc, sweep_rows(cfg.mpc), particles.capacity
         )
     else:
-        from ..state import empty_pallas_tables
-
         tables = empty_pallas_tables()
 
     zero = jnp.zeros((), dtype=dtype)
@@ -182,6 +203,7 @@ def assemble_simulation(
         position_half=jnp.zeros_like(particles.position),
         pallas_tables=tables,
         max_halo=jnp.zeros((), dtype=jnp.int32),
+        block_tables=btables,
     )
     return Simulation(cfg=cfg, state=state, meta=meta, n_live=n)
 
@@ -231,6 +253,12 @@ def _overflow_reason(cfg: StepConfig, state) -> Optional[str]:
         return (
             f"occupied cells {int(state.occupied_cells)} exceeded the "
             f"program-grid capacity {cfg.maxc}; raise max_occupied_cells"
+        )
+    if cfg.ct_cap and int(state.max_chunks) > cfg.ct_cap:
+        return (
+            f"block-sweep chunk table needed {int(state.max_chunks)} entries, "
+            f"exceeding the capacity {cfg.ct_cap}; the swept cover was "
+            f"truncated"
         )
     if cfg.halo and int(state.max_halo) > cfg.halo:
         return (
@@ -295,8 +323,8 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
         # compresses cells to >2x their at-rest max), and each one costs a
         # full recompile - grow decisively: rows are free (2x), candidate
         # lanes cost VMEM but repeated recompiles cost minutes (1.5x).
-        mpc = -(-(int(occ * 2.0) + 2) // 8) * 8
-        cseg = -(-(int(max(seg, 3 * occ) * 1.5) + 2) // 128) * 128
+        mpc = max(-(-(int(occ * 2.0) + 2) // 8) * 8, cfg.mpc)
+        cseg = max(-(-(int(max(seg, 3 * occ) * 1.5) + 2) // 128) * 128, cfg.cseg)
         maxc = min(cfg.grid.ncells, ncc * 2 + 256)
         cwin = -(-(cseg + mpc) // 128) * 128 + 128
         new_cap = max(
@@ -305,22 +333,38 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
             sim.n_live + 256,
         )
         new_cap = -(-new_cap // 128) * 128
+        ct_cap = cfg.ct_cap
+        if ct_cap:
+            # chunk overflow (or a grown cover after the window growth):
+            # budget 2x the observed need, like the initial sizing
+            need = int(failed_state.max_chunks)
+            ct_cap = max(-(-(need * 2 + 1024) // 1024) * 1024, ct_cap)
         prev_state = pad_capacity(prev_state, new_cap)
-        new_cfg = _dc.replace(cfg, mpc=mpc, cseg=cseg, maxc=max(maxc, cfg.maxc))
-        # the program tables are shaped by (maxc, mpc, capacity): re-init to
+        new_cfg = _dc.replace(cfg, mpc=mpc, cseg=cseg,
+                              maxc=max(maxc, cfg.maxc), ct_cap=ct_cap)
+        # the tables are shaped by (maxc, mpc / ct_cap, capacity): re-init to
         # the new shapes (the replayed interval's first step rebuilds them)
-        from ..ops.pallas_sweep import init_program_tables, sweep_rows
+        if ct_cap:
+            from ..ops.pallas_block_sweep import init_block_tables
 
-        prev_state = prev_state.replace(
-            pallas_tables=init_program_tables(
-                cfg.grid, new_cfg.maxc, sweep_rows(new_cfg.mpc), new_cap
+            prev_state = prev_state.replace(
+                block_tables=init_block_tables(new_cap, ct_cap),
+                max_chunks=jnp.zeros((), jnp.int32),
             )
-        )
+        else:
+            from ..ops.pallas_sweep import init_program_tables, sweep_rows
+
+            prev_state = prev_state.replace(
+                pallas_tables=init_program_tables(
+                    cfg.grid, new_cfg.maxc, sweep_rows(new_cfg.mpc), new_cap
+                )
+            )
     else:
         mpc = int(occ * 1.25) + 2
         new_cfg = _dc.replace(cfg, cseg=3 * mpc)
 
-    if (new_cfg.mpc, new_cfg.cseg, new_cfg.maxc) == (cfg.mpc, cfg.cseg, cfg.maxc):
+    if (new_cfg.mpc, new_cfg.cseg, new_cfg.maxc, new_cfg.ct_cap) == (
+            cfg.mpc, cfg.cseg, cfg.maxc, cfg.ct_cap):
         raise RuntimeError(
             "neighbor-window retune made no progress; raise max_per_cell manually"
         )
@@ -328,9 +372,10 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
 
     print(
         f"[sphexample_tpu] neighbor windows outgrown (occ {occ}, seg {seg}, "
-        f"cells {ncc}); retuning mpc {cfg.mpc}->{new_cfg.mpc}, cseg "
-        f"{cfg.cseg}->{new_cfg.cseg}, maxc {cfg.maxc}->{new_cfg.maxc} and "
-        f"replaying the interval (recompile)",
+        f"cells {ncc}, chunks {int(failed_state.max_chunks)}); retuning mpc "
+        f"{cfg.mpc}->{new_cfg.mpc}, cseg {cfg.cseg}->{new_cfg.cseg}, maxc "
+        f"{cfg.maxc}->{new_cfg.maxc}, ct_cap {cfg.ct_cap}->{new_cfg.ct_cap} "
+        f"and replaying the interval (recompile)",
         file=sys.stderr,
     )
     new_sim = Simulation(

@@ -63,11 +63,22 @@ class StepConfig:
     # sharded Pallas: halo rows exchanged with each slab neighbor per sweep
     # (multiple of 128; 0 = fall back to the all-gather XLA sweep)
     halo: int = 0
+    # flat chunk-table capacity of the block-structured sweep (single-chip
+    # hot path; 0 = use the cell-pair program kernel instead)
+    ct_cap: int = 0
 
 
 def _sweep(cfg: StepConfig, p, cell_start, position, density, pressure, velocity,
-           idx_base, tables=None):
+           idx_base, tables=None, btables=None):
     """Dispatch one neighbor sweep to the Pallas or XLA path."""
+    if cfg.use_pallas and not cfg.ctx.is_sharded and cfg.ct_cap > 0:
+        from ..ops.pallas_block_sweep import pallas_block_sweep
+
+        return pallas_block_sweep(
+            cfg.spec, cfg.grid, cfg.ct_cap,
+            p, cell_start, position, density, pressure, velocity,
+            tables=btables, interpret=cfg.pallas_interpret,
+        )
     if cfg.use_pallas and not cfg.ctx.is_sharded:
         from ..ops.pallas_sweep import pallas_pair_sweep
 
@@ -122,7 +133,8 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     dt2 = dt * 0.5
 
     # 02 - lazy rebuild when dx >= h
-    pallas_single = cfg.use_pallas and not ctx.is_sharded
+    pallas_block = cfg.use_pallas and not ctx.is_sharded and cfg.ct_cap > 0
+    pallas_single = cfg.use_pallas and not ctx.is_sharded and not pallas_block
     pallas_halo = cfg.use_pallas and ctx.is_sharded and cfg.halo > 0
 
     def do_rebuild(p_in):
@@ -143,7 +155,16 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
         counts = cell_start[1 : cfg.grid.ncells + 1] - cell_start[: cfg.grid.ncells]
         ncc = jnp.sum(counts > 0).astype(jnp.int32)
         halo_need = state.max_halo
-        if pallas_single:
+        btables = state.block_tables
+        if pallas_block:
+            from ..ops.pallas_block_sweep import make_block_tables
+
+            tables = state.pallas_tables
+            btables = make_block_tables(
+                cell_start, sorted_p.cell, sorted_p.active, cfg.grid,
+                cap, cfg.ct_cap,
+            )
+        elif pallas_single:
             from ..ops.pallas_sweep import make_program_tables, sweep_rows
 
             tables = make_program_tables(
@@ -193,20 +214,21 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
         else:
             tables = state.pallas_tables
         return (sorted_p, cell_start, occ, seg, ncc, jnp.zeros_like(dx_acc),
-                tables, halo_need)
+                tables, btables, halo_need)
 
     def no_rebuild(p_in):
         return (p_in, state.cell_start, state.max_occupancy, state.max_segment,
                 state.occupied_cells, dx_acc, state.pallas_tables,
-                state.max_halo)
+                state.block_tables, state.max_halo)
 
-    p, cell_start, occ, seg, ncc, dx_acc, tables, halo_need = jax.lax.cond(
+    p, cell_start, occ, seg, ncc, dx_acc, tables, btables, halo_need = jax.lax.cond(
         dx_acc >= kern.h, do_rebuild, no_rebuild, p
     )
     occ = jnp.maximum(occ, state.max_occupancy)
     seg = jnp.maximum(seg, state.max_segment)
     ncc = jnp.maximum(ncc, state.occupied_cells)
     halo_need = jnp.maximum(halo_need, state.max_halo)
+    mchunks = jnp.maximum(state.max_chunks, btables.chunk_total)
 
     # -- motion (first half, reference :765)
     pos, vel = progress_motion(cfg.motion, p, state.total_time, dt2)
@@ -249,7 +271,7 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     # 05 - first neighbor sweep (predictor forces)
     with jax.named_scope("05_first_neighbor_sweep"):
         out1 = _sweep(cfg, p, cell_start, p.position, p.density, p.pressure,
-                  p.velocity, idx_base, tables)
+                  p.velocity, idx_base, tables, btables)
 
     # 06 - half step predictor (reference HalfTimeStep, :624-638)
     acc = _gravity_acc(cfg, p, out1.acceleration)
@@ -272,7 +294,7 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     # 08 - second neighbor sweep (corrector forces, on half-step fields)
     with jax.named_scope("08_second_neighbor_sweep"):
         out2 = _sweep(cfg, p, cell_start, pos_half, rho_half, p.pressure, vel_half,
-                  idx_base, tables)
+                  idx_base, tables, btables)
 
     # 09 - clamp density at boundaries (before the corrector, reference :794)
     density = eq.limit_density_at_boundary(p.density, c.rho0, p.motion_limiter)
@@ -321,6 +343,8 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
         position_half=pos_half,
         pallas_tables=tables,
         max_halo=halo_need,
+        block_tables=btables,
+        max_chunks=mchunks,
     )
     return new_state, dx_acc
 

@@ -39,7 +39,10 @@ def save_checkpoint(path: str, state: SimulationState, counter: int, cfg=None):
     """``cfg`` (a StepConfig) records the window metadata that makes the
     checkpoint resumable across retunes."""
     items, _ = _path_items(state)
-    arrays = {f"f::{k}": np.asarray(v) for k, v in items}
+    # the Pallas/block tables are pure functions of cell_start and are
+    # rebuilt at the first step of every interval: never persisted
+    arrays = {f"f::{k}": np.asarray(v) for k, v in items
+              if "pallas_tables" not in k and "block_tables" not in k}
     extras = dict(
         counter=np.asarray(counter),
         capacity=np.asarray(state.particles.capacity),
@@ -48,6 +51,7 @@ def save_checkpoint(path: str, state: SimulationState, counter: int, cfg=None):
         extras.update(
             mpc=np.asarray(cfg.mpc), cseg=np.asarray(cfg.cseg),
             maxc=np.asarray(cfg.maxc),
+            ct_cap=np.asarray(getattr(cfg, "ct_cap", 0)),
         )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez_compressed(path, **extras, **arrays)
@@ -88,11 +92,16 @@ def load_checkpoint(path: str, template: SimulationState) -> Tuple[SimulationSta
     items, treedef = _path_items(template)
     restored = []
     for kp, leaf in items:
-        if "pallas_tables" in kp:
+        if "pallas_tables" in kp or "block_tables" in kp:
             restored.append(leaf)  # rebuilt at the first step of the interval
             continue
         key = f"f::{kp}"
         if key not in data:
+            if "max_chunks" in kp:
+                # telemetry scalar added after older checkpoints were written;
+                # zero re-accumulates at the next rebuild
+                restored.append(leaf)
+                continue
             raise ValueError(f"checkpoint is missing state leaf {kp!r}")
         arr = data[key]
         if arr.shape != leaf.shape:
@@ -130,19 +139,32 @@ def resume_simulation(sim, path: str):
         cseg = max(int(data["cseg"]), sim.cfg.cseg)
         maxc = max(int(data["maxc"]), sim.cfg.maxc)
         cap = max(int(data["capacity"]), int(sim.state.particles.capacity))
-        if (mpc, cseg, maxc) != (sim.cfg.mpc, sim.cfg.cseg, sim.cfg.maxc) or \
+        ct_cap = sim.cfg.ct_cap
+        if ct_cap and "ct_cap" in data:
+            ct_cap = max(int(data["ct_cap"]), ct_cap)
+        if (mpc, cseg, maxc, ct_cap) != (
+                sim.cfg.mpc, sim.cfg.cseg, sim.cfg.maxc, sim.cfg.ct_cap) or \
                 cap != int(sim.state.particles.capacity):
             from ..core.driver import Simulation
-            from ..ops.pallas_sweep import init_program_tables, sweep_rows
             from ..parallel.mesh import pad_capacity
 
             state = pad_capacity(sim.state, cap)
-            new_cfg = _dc.replace(sim.cfg, mpc=mpc, cseg=cseg, maxc=maxc)
-            state = state.replace(
-                pallas_tables=init_program_tables(
-                    new_cfg.grid, maxc, sweep_rows(mpc), cap
+            new_cfg = _dc.replace(sim.cfg, mpc=mpc, cseg=cseg, maxc=maxc,
+                                  ct_cap=ct_cap)
+            if ct_cap:
+                from ..ops.pallas_block_sweep import init_block_tables
+
+                state = state.replace(
+                    block_tables=init_block_tables(cap, ct_cap)
                 )
-            )
+            else:
+                from ..ops.pallas_sweep import init_program_tables, sweep_rows
+
+                state = state.replace(
+                    pallas_tables=init_program_tables(
+                        new_cfg.grid, maxc, sweep_rows(mpc), cap
+                    )
+                )
             sim = Simulation(
                 cfg=new_cfg, state=state, meta=sim.meta, n_live=sim.n_live
             )

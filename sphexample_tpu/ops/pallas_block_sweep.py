@@ -56,8 +56,11 @@ from .pallas_sweep import _pair_math
 # Block geometry: selves per program (= VPU lane count; fixed by hardware).
 BLOCK = 128
 # Candidate chunk height in sublanes (8-aligned DMA windows of the row-major
-# pack).  64 balances DMA issue count against tail slack.
-CH = 64
+# pack).  Measured on the headline case: 32 -> 17.4, 64 -> 14.0,
+# 128 -> 12.6 ms/sweep (per-chunk fixed costs - decode, mask build, dense
+# broadcasts, accumulate - amortize over more rows; 256 is unrepresentable:
+# vend = CH must fit the 8-bit field of the vv chunk code).
+CH = 128
 # DMA ring: chunk g lands in buffer slot g % NBUF; the pipeline keeps DEPTH
 # chunks in flight (issued at compute step g - DEPTH), crossing program
 # boundaries so no per-program warm-up stall remains.
@@ -103,10 +106,13 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     next row head - nearly the whole row.  Each of the <= 3 disjoint
     row-ranges per group is split into NS slots; each slot becomes one
     contiguous sorted-row run [s, e), chunked into ceil((e - floor8(s)) / CH)
-    DMA windows tagged with the group's lane interval [l0, l1).  Chunk
-    validity [vstart, vend) dedups the 8-aligned window overlap against
-    neighboring runs and excludes the inactive tail; everything else inside
-    a window is masked by the kernel-support cutoff (see module docstring).
+    DMA windows tagged with the group bit (the lane interval is [0, cut) for
+    group A and [cut, 128) for B, with ``cut`` packed into ``prog_start``'s
+    high byte - per-chunk lane bounds measured over the 1 MB scoped-SMEM cap
+    at 430k particles).  Chunk validity [vstart, vend) dedups the 8-aligned
+    window overlap against neighboring runs and excludes the inactive tail;
+    everything else inside a window is masked by the kernel-support cutoff
+    (see module docstring).
 
     Entries beyond ``ct_cap`` are clamped away (the sweep then computes a
     truncated cover - physically wrong, which is why ``chunk_total`` rides
@@ -155,13 +161,13 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
 
     kminB = jnp.min(jnp.where(mB, kb, big), axis=1)
     groups = [
-        _extent(mA, ra, ra) + (jnp.zeros_like(cut), cut),
-        _extent(mB, kminB // nx, rb) + (cut, jnp.full_like(cut, BLOCK)),
+        _extent(mA, ra, ra) + (0,),
+        _extent(mB, kminB // nx, rb) + (1,),
     ]
 
-    run_s, run_e, run_ll = [], [], []
+    run_s, run_e, run_gb = [], [], []
     j = jnp.arange(NS, dtype=jnp.int32)[None, :]        # [1, NS]
-    for any_g, ra_g, rb_g, xlo, xhi, l0, l1 in groups:
+    for any_g, ra_g, rb_g, xlo, xhi, gbit in groups:
         # disjoint row-ranges covering {r + dy + ny*dz : r in [ra_g, rb_g]}
         if grid.dims == 3:
             ranges = [
@@ -171,7 +177,7 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
             ]
         else:
             ranges = [(ra_g - 1, rb_g + 1)]
-        ll = (l0 * 256 + l1)[:, None] * jnp.ones((1, NS), jnp.int32)
+        gb = jnp.full((maxb, NS), gbit, jnp.int32)
         for lo, hi in ranges:
             lo = jnp.clip(lo, 0, nrows - 1)[:, None]
             hi = jnp.clip(hi, -1, nrows - 1)[:, None]
@@ -185,10 +191,10 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
             e = jnp.where(live, cell_start[k_hi + 1], 0)
             run_s.append(s)
             run_e.append(e)
-            run_ll.append(ll)
+            run_gb.append(gb)
     s = jnp.concatenate(run_s, axis=1).reshape(-1)      # [maxb * NR]
     e = jnp.concatenate(run_e, axis=1).reshape(-1)
-    ll = jnp.concatenate(run_ll, axis=1).reshape(-1)
+    gb = jnp.concatenate(run_gb, axis=1).reshape(-1)
 
     s8 = (s // 8) * 8
     nch = jnp.where(e > s, -(-(e - s8) // CH), 0)       # [maxb * NR]
@@ -199,6 +205,17 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
         [jnp.zeros((1,), nch_blk.dtype), jnp.cumsum(nch_blk)]
     )
     prog_start = jnp.minimum(prog_start, ct_cap).astype(jnp.int32)
+    # pack the block's lane-group cut into the high byte (entries 0..maxb-1;
+    # entry maxb stays the bare total, read as the kernel's chunk count).
+    # Stored as cut-1: cut = 128 (a block entirely inside one (y,z) row -
+    # the COMMON case in 3D) times 2^24 is exactly 2^31 and wraps int32
+    # negative, which decodes into a negative chunk range and crashes the
+    # chip.  Active blocks always have cut >= 1 (active lanes are a sorted
+    # prefix, so the first row owns at least one lane); blocks with no
+    # active lanes emit no chunks, so their decoded cut is never used.
+    prog_start = prog_start + jnp.concatenate(
+        [jnp.maximum(cut.astype(jnp.int32), 1) - 1, jnp.zeros((1,), jnp.int32)]
+    ) * 16777216
 
     t = jnp.arange(ct_cap, dtype=gcum.dtype)
     rid = jnp.clip(
@@ -208,15 +225,32 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     off8 = s8[rid] + CH * i
     vstart = jnp.clip(s[rid] - off8, 0, CH)
     vend = jnp.clip(e[rid] - off8, 0, CH)
+    # A run's last window may overhang the array tail (off8 + CH > capacity);
+    # dynamic slices CLAMP the start, silently shifting the window against
+    # the validity interval.  Clamp here instead and shift [vstart, vend)
+    # by the same amount so covered rows stay exactly [max(s,off8), e) -
+    # no loss, no double count against the previous chunk.  vend <= CH still
+    # holds (e <= capacity and the clamped window ends at capacity), so the
+    # 8-bit vv fields never overflow for CH <= 248.
+    off8c = jnp.maximum(jnp.minimum(off8, capacity - CH), 0)
+    sh = off8 - off8c
+    off8 = off8c
+    vstart = jnp.clip(vstart + sh, 0, CH)
+    vend = jnp.clip(vend + sh, 0, CH)
     dead = t >= jnp.minimum(total, ct_cap)
-    off8 = jnp.where(dead, 0, off8)
-    # chunk code: ((vstart * 256 + vend) * 256 + l0) * 256 + l1
-    vv = jnp.where(dead, 0, (vstart * 256 + vend) * 65536 + ll[rid])
+    # packed chunk code (one SMEM word per chunk): off8/8 (16b) | vstart
+    # << 16 (7b: live chunks have vstart <= CH-1) | (vend-1) << 23 (7b)
+    # | group bit << 30.  Dead (padding) entries are 0 - they are DMA'd
+    # during warm-up (offset 0, harmless) but never decoded for compute.
+    code = ((off8 // 8)
+            + vstart * 65536
+            + jnp.maximum(vend - 1, 0) * 8388608
+            + gb[rid] * 1073741824)
+    tab = jnp.where(dead, 0, code)
 
     return BlockTables(
         prog_start=prog_start,
-        chunk_off=off8.astype(jnp.int32),
-        chunk_vv=vv.astype(jnp.int32),
+        chunk_tab=tab.astype(jnp.int32),
         csr=csr, cer=cer, idx=idx,
         chunk_total=total,
     )
@@ -229,8 +263,8 @@ def init_block_tables(capacity: int, ct_cap: int) -> BlockTables:
     z = functools.partial(jnp.zeros, dtype=jnp.int32)
     zf = functools.partial(jnp.zeros, dtype=jnp.float32)
     return BlockTables(
-        prog_start=z((maxb + 1,)), chunk_off=z((ct_cap,)),
-        chunk_vv=z((ct_cap,)), csr=zf((capacity,)), cer=zf((capacity,)),
+        prog_start=z((maxb + 1,)), chunk_tab=z((ct_cap,)),
+        csr=zf((capacity,)), cer=zf((capacity,)),
         idx=zf((capacity,)), chunk_total=z(()),
     )
 
@@ -322,9 +356,8 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
     k_pad = _round_up(n_keys, 8)
 
     def kernel(
-        prog_start_ref,   # [maxb + 1] SMEM (prefetch)
-        chunk_off_ref,    # [ct_cap] SMEM (prefetch): 8-aligned row offsets
-        chunk_vv_ref,     # [ct_cap] SMEM (prefetch): vstart * 256 + vend
+        prog_start_ref,   # [maxb + 1] SMEM (prefetch): chunk start | cut<<24
+        chunk_tab_ref,    # [ct_cap] SMEM (prefetch): packed chunk codes
         self_blk,         # [16, 128] VMEM (BlockSpec over the lane-major pack)
         packedT_hbm,      # [N, 128] HBM (row-major candidates)
         out_blk,          # [k_pad, 128] VMEM (BlockSpec over [k_pad, N])
@@ -333,12 +366,17 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
         sem,              # DMA semaphores (NBUF,)
     ):
         b = pl.program_id(0)
-        total = prog_start_ref[maxb]
-        g0 = prog_start_ref[b]
-        g1 = prog_start_ref[b + 1]
+        M24 = jnp.int32(16777216)
+        total = jax.lax.rem(prog_start_ref[maxb], M24)
+        pv = prog_start_ref[b]
+        g0 = jax.lax.rem(pv, M24)
+        cut = pv // M24 + 1   # stored as cut-1 (int32 headroom, see builder)
+        g1 = jax.lax.rem(prog_start_ref[b + 1], M24)
 
         def copy_for(g, slot):
-            off8 = pl.multiple_of(chunk_off_ref[g], 8)
+            off8 = pl.multiple_of(
+                jax.lax.rem(chunk_tab_ref[g], jnp.int32(65536)) * 8, 8
+            )
             return pltpu.make_async_copy(
                 packedT_hbm.at[pl.ds(off8, CH)], cand_buf.at[slot],
                 sem.at[slot],
@@ -384,12 +422,13 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
                 copy_for(ga, jax.lax.rem(ga, jnp.int32(NBUF))).start()
             copy_for(g, slot).wait()
 
-            # decode ((vs * 256 + ve) * 256 + l0) * 256 + l1
-            vv = chunk_vv_ref[g]
-            vs = vv // 16777216
-            ve = jax.lax.rem(vv // 65536, jnp.int32(256))
-            l0 = jax.lax.rem(vv // 256, jnp.int32(256))
-            l1 = jax.lax.rem(vv, jnp.int32(256))
+            # decode off8/8 (16b) | vs (7b) | ve-1 (7b) | group bit
+            v = chunk_tab_ref[g]
+            vs = jax.lax.rem(v // jnp.int32(65536), jnp.int32(128))
+            ve = jax.lax.rem(v // jnp.int32(8388608), jnp.int32(128)) + 1
+            grp = v // jnp.int32(1073741824)
+            l0 = grp * cut                              # A: [0, cut)
+            l1 = cut + grp * (jnp.int32(BLOCK) - cut)   # B: [cut, 128)
             buf = cand_buf[slot]                        # [CH, 128]
 
             # Candidate columns are [CH, 1]: on TPU that is 8 nearly-empty
@@ -418,9 +457,10 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
                                within, rcps=(rcp_i, rcp_j))
             for k, key in enumerate(keys):
                 t = terms[key]                          # [CH, 128]
-                t = t[0:CH // 2] + t[CH // 2 : CH]
-                t = t[0:CH // 4] + t[CH // 4 : CH // 2]
-                t = t[0:8] + t[8:16]
+                h = CH
+                while h > 8:                            # tree-reduce to [8, 128]
+                    h //= 2
+                    t = t[0:h] + t[h : 2 * h]
                 acc_ref[k] += t
             return c
 
@@ -462,16 +502,19 @@ def pallas_block_sweep(
     cap = position.shape[0]
     if cap % BLOCK != 0:
         raise ValueError(f"capacity {cap} must be a multiple of {BLOCK}")
-    if cap < CH + 8 or cap >= 2 ** 24:
-        raise ValueError(f"capacity {cap} out of the supported range")
+    if cap < CH + 8 or cap > 2 ** 19:
+        # off8/8 must fit the packed code's 16-bit field; beyond half a
+        # million rows, shard over a mesh instead (parallel.shard_simulation)
+        raise ValueError(f"capacity {cap} out of the supported range "
+                         f"[{CH + 8}, {2 ** 19}]")
     maxb = n_blocks(cap)
 
     if tables is None:
         tables = make_block_tables(cell_start, particles.cell,
                                    particles.active, grid, cap, ct_cap)
-    if tables.chunk_off.shape[0] != ct_cap or tables.csr.shape[0] != cap:
+    if tables.chunk_tab.shape[0] != ct_cap or tables.csr.shape[0] != cap:
         raise ValueError(
-            f"block tables sized for ct_cap={tables.chunk_off.shape[0]}, "
+            f"block tables sized for ct_cap={tables.chunk_tab.shape[0]}, "
             f"capacity={tables.csr.shape[0]}; expected {ct_cap}, {cap}"
         )
 
@@ -482,7 +525,7 @@ def pallas_block_sweep(
 
     kernel, n_keys, k_pad = _make_block_kernel(spec, dims, maxb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(maxb,),
         in_specs=[
             pl.BlockSpec((16, BLOCK), lambda b, *_: (0, b)),
@@ -501,7 +544,7 @@ def pallas_block_sweep(
         out_shape=(jax.ShapeDtypeStruct((k_pad, cap), jnp.float32),),
         interpret=interpret,
     )(
-        tables.prog_start, tables.chunk_off, tables.chunk_vv,
+        tables.prog_start, tables.chunk_tab,
         packed, packedT,
     )
     return _collect(out, spec, particles.active, position.dtype, dims)

@@ -19,7 +19,8 @@ from jax import shard_map
 
 from ..core.driver import Simulation
 from ..core.step import StepConfig, sph_step
-from ..state import PallasTables, Particles, SimulationState, empty_pallas_tables
+from ..state import (BlockTables, PallasTables, Particles, SimulationState,
+                     empty_block_tables, empty_pallas_tables)
 from .context import CommContext
 
 AXIS = "particles"
@@ -59,6 +60,13 @@ def state_specs(axis: str = AXIS) -> SimulationState:
             row_idx=P(axis), slot_pair=P(axis),
         ),
         max_halo=P(),
+        # the block sweep is single-chip only: sharded states carry EMPTY
+        # block tables ((0,)-shaped leaves shard trivially)
+        block_tables=BlockTables(
+            prog_start=P(axis), chunk_tab=P(axis),
+            csr=P(axis), cer=P(axis), idx=P(axis), chunk_total=P(),
+        ),
+        max_chunks=P(),
     )
 
 
@@ -250,8 +258,14 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
         # the gather sweep needs no program tables
         state = state.replace(pallas_tables=empty_pallas_tables())
 
+    # the block sweep is single-chip only: the sharded config runs the
+    # cell-pair halo kernel (or the all-gather fallback)
+    state = state.replace(
+        block_tables=empty_block_tables(),
+        max_chunks=jnp.zeros((), jnp.int32),
+    )
     interval_fn, cfg = make_sharded_interval_fn(
-        _dc.replace(cfg0, halo=halo), mesh, axis
+        _dc.replace(cfg0, halo=halo, ct_cap=0), mesh, axis
     )
     specs = state_specs(axis)
     shardings = jax.tree.map(

@@ -169,10 +169,13 @@ class BlockTables:
     carries as extra field lanes.  Pure functions of ``cell_start`` + the
     sorted order, refreshed at every lazy rebuild."""
 
-    prog_start: jax.Array   # [maxb + 1] int32 block -> first flat chunk
-    chunk_off: jax.Array    # [ct_cap] int32 8-aligned sorted-row DMA offsets
-    chunk_vv: jax.Array     # [ct_cap] int32 ((vs*256+ve)*256+l0)*256+l1 code:
-                            # row validity [vs, ve) + lane group [l0, l1)
+    prog_start: jax.Array   # [maxb + 1] int32: first flat chunk (low 24 bits)
+    #                         | block lane-group cut << 24 (entry maxb: total)
+    chunk_tab: jax.Array    # [ct_cap] int32 packed chunk code: off8/8 (16b)
+                            # | vstart << 16 (7b) | (vend-1) << 23 (7b)
+                            # | lane-group bit << 30.  ONE word per chunk:
+                            # two words measured over the 1 MB scoped-SMEM
+                            # cap at 430k particles.
     csr: jax.Array          # [capacity] f32 own-cell start (role quirk)
     cer: jax.Array          # [capacity] f32 own-cell end
     idx: jax.Array          # [capacity] f32 sorted index (exact <= 2^24)
@@ -182,7 +185,7 @@ class BlockTables:
 def empty_block_tables() -> BlockTables:
     z = jnp.zeros((0,), dtype=jnp.int32)
     zf = jnp.zeros((0,), dtype=jnp.float32)
-    return BlockTables(prog_start=z, chunk_off=z, chunk_vv=z, csr=zf, cer=zf,
+    return BlockTables(prog_start=z, chunk_tab=z, csr=zf, cer=zf,
                        idx=zf, chunk_total=jnp.zeros((), jnp.int32))
 
 
@@ -211,5 +214,15 @@ class SimulationState:
     # window past the slab boundary, pmax'd over devices at rebuild (0 on
     # single-chip runs).  The driver raises if it outgrows cfg.halo.
     max_halo: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
+    # Block-sweep chunk tables, refreshed at every lazy rebuild (empty when
+    # the block sweep is off; sized by (capacity, ct_cap) - re-initialized,
+    # never padded, on capacity growth).
+    block_tables: BlockTables = struct.field(default_factory=empty_block_tables)
+    # Max flat-chunk count any rebuild needed this run; the driver retunes
+    # when it outgrows cfg.ct_cap (truncated chunk tables sweep a physically
+    # wrong cover, exactly like overflowed occupancy windows).
+    max_chunks: jax.Array = struct.field(
         default_factory=lambda: jnp.zeros((), jnp.int32)
     )

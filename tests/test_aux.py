@@ -427,6 +427,7 @@ def test_auto_retune_pallas_tables(tmp_path):
         simulation_name="rtp", save_location=str(tmp_path), dims=2,
         simulation_time=0.02, output_times=0.01, max_per_cell=8,
         block_size=64, dtype="float64", use_pallas=True,
+        block_sweep=False,  # this test targets the cell-pair program tables
     )
     sim = assemble_simulation(
         pos, np.full(400, const.rho0), np.ones(400, np.int32),

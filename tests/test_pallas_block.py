@@ -191,7 +191,9 @@ def test_block_tables_overflow_telemetry():
     tight = pbs.make_block_tables(cell_start, p.cell, p.active, grid,
                                   p.capacity, 64)
     assert int(tight.chunk_total) == need  # telemetry unaffected by clamp
-    assert int(tight.prog_start.max()) <= 64
+    # low 24 bits carry the (clamped) chunk starts; the high byte is the
+    # block's lane-group cut
+    assert int((tight.prog_start % 16777216).max()) <= 64
 
 
 def test_block_estimate_covers_initial():
@@ -205,3 +207,136 @@ def test_block_estimate_covers_initial():
         p.capacity,
     )
     assert est == int(t.chunk_total)
+
+
+def test_block_single_row_blocks_cut128():
+    """Blocks entirely inside one (y,z)-row have lane-group cut == 128 - the
+    COMMON case in 3D.  cut * 2^24 is exactly 2^31 and silently wrapped the
+    packed prog_start negative (int32), decoding into a negative chunk range:
+    every interpret test with multi-row blobs missed it while the compiled
+    kernel crashed the chip.  The cut is stored as cut-1 now; this pins the
+    single-row case."""
+    rng = np.random.default_rng(7)
+    n = 500
+    const = SimulationConstants(dx=0.01, cfl=0.5)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+    # dense line along x: whole 128-row blocks live in one y-row
+    pos = np.stack([np.arange(n) * const.dx,
+                    rng.uniform(-0.004, 0.004, n)], axis=1)
+    dens = rng.uniform(990, 1040, size=n)
+    vel = rng.normal(0, 0.5, size=(n, 2))
+    grid, p, cs = _assemble(pos, dens, vel, const, kern, 512, seed=7)
+
+    # the setup must actually produce cut == 128 blocks
+    keys = np.asarray(cl.linearize(p.cell, grid))
+    keys = np.where(np.asarray(p.active), keys, grid.ncells)
+    nx = grid.shape[0]
+    cuts = []
+    for b0 in range(0, 512, 128):
+        kb, act = keys[b0:b0 + 128], keys[b0:b0 + 128] < grid.ncells
+        if act.any():
+            cuts.append(int(((kb // nx) == (kb[act] // nx)[0])[act].sum()))
+    assert max(cuts) == 128
+
+    spec = PhysicsSpec(constants=const, kernel=kern,
+                       viscosity=ViscosityModel.ARTIFICIAL,
+                       diffusion=DensityDiffusionModel.LINEAR)
+    ref = pair_sweep(spec, grid, 256, 64, p, cs, p.position, p.density,
+                     p.pressure, p.velocity)
+    out = pbs.pallas_block_sweep(spec, grid, 1024, p, cs, p.position,
+                                 p.density, p.pressure, p.velocity,
+                                 interpret=True)
+    _compare(out, ref)
+
+
+def _blob_sim(use_pallas, block, tmp_path, *, n=400, max_per_cell=None,
+              t_end=0.02):
+    """A small 2D random blob wired through the full driver (interpret)."""
+    import dataclasses
+
+    from sphexample_tpu import SimulationMetaData, assemble_simulation
+    from sphexample_tpu.core.step import make_interval_fn
+
+    rng = np.random.default_rng(5)
+    const = SimulationConstants(dx=0.02, c0=40.0, cfl=0.3)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+    pos = rng.uniform(0, 0.3, size=(n, 2))
+    meta = SimulationMetaData(
+        simulation_name="blk", save_location=str(tmp_path), dims=2,
+        simulation_time=t_end, output_times=t_end / 2, block_size=64,
+        dtype="float64", use_pallas=use_pallas, block_sweep=block,
+        grid_margin_cells=4,
+        **({"max_per_cell": max_per_cell} if max_per_cell else {}),
+    )
+    sim = assemble_simulation(
+        pos, np.full(n, const.rho0), np.ones(n, np.int32),
+        np.ones(n, np.int32), np.arange(1, n + 1),
+        meta, const, kern, ViscosityModel.ARTIFICIAL,
+        DensityDiffusionModel.LINEAR,
+    )
+    if use_pallas:
+        sim.cfg = dataclasses.replace(sim.cfg, pallas_interpret=True)
+        sim.interval_fn = make_interval_fn(sim.cfg)
+    return sim
+
+
+def _live_by_id(state):
+    ids = np.asarray(state.particles.id)
+    order = np.argsort(ids)
+    return order[ids[order] > 0]
+
+
+def test_block_step_trajectory_matches_xla(tmp_path):
+    """Full driver intervals on the block path (interpret) vs the XLA step
+    path: the trajectory must agree to f32-kernel tolerance (the block
+    kernel computes in f32; the XLA sim is f64)."""
+    from sphexample_tpu import run_simulation
+
+    sim_b = _blob_sim(True, True, tmp_path)
+    assert sim_b.cfg.ct_cap > 0, "block path not active"
+    sim_x = _blob_sim(False, True, tmp_path)
+
+    sim_b = run_simulation(sim_b, max_intervals=2)
+    sim_x = run_simulation(sim_x, max_intervals=2)
+
+    ob, ox = _live_by_id(sim_b.state), _live_by_id(sim_x.state)
+    np.testing.assert_allclose(
+        float(sim_b.state.total_time), float(sim_x.state.total_time),
+        rtol=1e-5,
+    )
+    pb = np.asarray(sim_b.state.particles.position)[ob]
+    px = np.asarray(sim_x.state.particles.position)[ox]
+    np.testing.assert_allclose(pb, px, rtol=1e-4, atol=2e-5 * 0.02)
+    db = np.asarray(sim_b.state.particles.density)[ob]
+    dxx = np.asarray(sim_x.state.particles.density)[ox]
+    np.testing.assert_allclose(db, dxx, rtol=5e-4)
+    assert int(sim_b.state.max_chunks) > 0  # telemetry rode the rebuilds
+
+
+def test_block_retune_on_chunk_overflow(tmp_path):
+    """An undersized chunk table must be detected by the max_chunks
+    telemetry and recovered by a decisive retune + replay (the truncated
+    cover sweeps wrong physics, exactly like overflowed windows)."""
+    import dataclasses
+
+    from sphexample_tpu import run_simulation
+    from sphexample_tpu.core.step import make_interval_fn
+    from sphexample_tpu.ops.pallas_block_sweep import init_block_tables
+
+    sim = _blob_sim(True, True, tmp_path)
+    assert sim.cfg.ct_cap > 0
+    tiny = 16
+    sim.cfg = dataclasses.replace(sim.cfg, ct_cap=tiny)
+    sim.state = sim.state.replace(
+        block_tables=init_block_tables(
+            int(sim.state.particles.capacity), tiny
+        )
+    )
+    sim.interval_fn = make_interval_fn(sim.cfg)
+
+    sim = run_simulation(sim, max_intervals=1)
+    assert sim.cfg.ct_cap > tiny, "expected a chunk-capacity retune"
+    assert int(sim.state.max_chunks) <= sim.cfg.ct_cap
+    act = np.asarray(sim.state.particles.active)
+    assert np.isfinite(np.asarray(sim.state.particles.density)[act]).all()
+    assert float(sim.state.total_time) > 0.0

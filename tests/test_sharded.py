@@ -126,6 +126,10 @@ def _tall_column_setup(use_pallas, mdbc=False, max_per_cell=None):
         simulation_name="halo", save_location=".", dims=2, dtype="float64",
         simulation_time=0.02, output_times=0.005, block_size=32,
         grid_margin_cells=4, use_pallas=use_pallas,
+        # sharded sweeps run the cell-pair halo kernel; pin the single-chip
+        # reference to the SAME kernel so per-chunk f32 summation orders
+        # match and the sharded-vs-single comparison stays bitwise-tight
+        block_sweep=False,
         mdbc=MDBCMode.SIMPLE if mdbc else MDBCMode.NONE,
         **({"max_per_cell": max_per_cell} if max_per_cell else {}),
     )

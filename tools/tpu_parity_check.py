@@ -63,21 +63,26 @@ def main():
                   pressure=jnp.zeros_like(p.pressure))
     p2, cs, _ = jax.jit(lambda pp: cl.rebuild(pp, kern.H_inv, sim.cfg.grid))(p)
 
-    o_p = _sweep(sim.cfg, p2, cs, p2.position, p2.density, p2.pressure,
+    # block kernel (single-chip hot path) AND the cell-pair kernel (still
+    # the sharded-halo path) - both compiled, both against the XLA sweep
+    o_b = _sweep(sim.cfg, p2, cs, p2.position, p2.density, p2.pressure,
                  p2.velocity, 0)
+    o_p = _sweep(dataclasses.replace(sim.cfg, ct_cap=0),
+                 p2, cs, p2.position, p2.density, p2.pressure, p2.velocity, 0)
     o_x = _sweep(dataclasses.replace(sim.cfg, use_pallas=False),
                  p2, cs, p2.position, p2.density, p2.pressure, p2.velocity, 0)
 
     ok = True
-    for name, a, b in (("drhodt", o_p.drhodt, o_x.drhodt),
-                       ("acceleration", o_p.acceleration, o_x.acceleration)):
-        d = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
-        nz_p = int((np.abs(np.asarray(a)) > 1e-12).sum())
-        nz_x = int((np.abs(np.asarray(b)) > 1e-12).sum())
-        line_ok = d <= args.atol and abs(nz_p - nz_x) < 0.05 * max(nz_x, 1)
-        ok &= line_ok
-        print(f"{name}: maxdiff={d:.3e} nonzero pallas/xla={nz_p}/{nz_x} "
-              f"{'OK' if line_ok else 'FAIL'}")
+    for tag, o_k in (("block", o_b), ("cellpair", o_p)):
+        for name, a, b in (("drhodt", o_k.drhodt, o_x.drhodt),
+                           ("acceleration", o_k.acceleration, o_x.acceleration)):
+            d = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            nz_p = int((np.abs(np.asarray(a)) > 1e-12).sum())
+            nz_x = int((np.abs(np.asarray(b)) > 1e-12).sum())
+            line_ok = d <= args.atol and abs(nz_p - nz_x) < 0.05 * max(nz_x, 1)
+            ok &= line_ok
+            print(f"{tag} {name}: maxdiff={d:.3e} nonzero pallas/xla="
+                  f"{nz_p}/{nz_x} {'OK' if line_ok else 'FAIL'}")
 
     ok &= _mdbc_parity()
     print("PARITY OK" if ok else "PARITY FAIL", file=sys.stderr)
