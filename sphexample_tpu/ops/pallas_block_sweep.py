@@ -321,18 +321,34 @@ def estimate_chunk_total(position: np.ndarray, inv_cutoff: float,
     return int(total)
 
 
-def pack_block_fields(position, velocity, density, pressure, ml, tables):
+def pack_block_fields(position, velocity, density, pressure, ml, tables,
+                      spec: "PhysicsSpec | None" = None):
     """Row-major pack [N, 128]: phys fields + guarded reciprocal density +
     sorted index + own-cell bounds (rebuild-constant, from the tables).  The
     lane-major self view is its transposed 16-lane head.
 
-    The density field is stored GUARDED (padded slots carry 1.0, never 0)
-    and its reciprocal is packed alongside so the kernel does no divisions
-    or zero-guards per chunk (`_pair_math(rcps=...)`)."""
+    Pack-time precomputation moves per-pair work to one dense [N] op each:
+
+    * density is stored GUARDED (padded slots carry 1.0, never 0) and its
+      reciprocal is packed alongside, so the kernel does no divisions or
+      zero-guards per chunk (`_pair_math(rcps=...)`);
+    * the pressure slot carries p/rho (`_pair_math(p_is_pq=True)`): the
+      momentum factor needs two fewer tile multiplies;
+    * an extra ``rr = rho + C_lin z`` field collapses the LINEAR-diffusion
+      numerator (rho_ji - rho_h) to one subtract (C_lin = 0 for the other
+      diffusion models, where rr degenerates to rho)."""
+    from ..config import DensityDiffusionModel
+
     rho_g = jnp.where(density > 0.0, density, jnp.ones_like(density))
-    cols = [position, velocity, rho_g[:, None], pressure[:, None],
-            ml[:, None], (1.0 / rho_g)[:, None], tables.idx[:, None],
-            tables.csr[:, None], tables.cer[:, None]]
+    rcp = 1.0 / rho_g
+    C_lin = 0.0
+    if spec is not None and spec.diffusion is DensityDiffusionModel.LINEAR:
+        c = spec.constants
+        C_lin = c.rho0 * (-c.g) * (-1.0) * ((1.0 / (c.Cb * c.gamma)) * c.rho0)
+    rr = rho_g + C_lin * position[:, -1]
+    cols = [position, velocity, rho_g[:, None], (pressure * rcp)[:, None],
+            ml[:, None], rcp[:, None], tables.idx[:, None],
+            tables.csr[:, None], tables.cer[:, None], rr[:, None]]
     rowmajor = jnp.concatenate([c.astype(jnp.float32) for c in cols], axis=1)
     w = rowmajor.shape[1]
     packedT = jnp.pad(rowmajor, ((0, 0), (0, 128 - w)))
@@ -345,7 +361,7 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
     want_shift = spec.shifting is ShiftingMode.PLANAR
     nfields = 2 * dims + 3
     RCP, IDX = nfields, nfields + 1
-    CSR, CER = nfields + 2, nfields + 3
+    CSR, CER, RR = nfields + 2, nfields + 3, nfields + 4
 
     keys = ["drho"] + [f"dvdt{r}" for r in range(dims)]
     if want_kernel:
@@ -408,9 +424,15 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
         idx_i = dense_self(IDX)
         cs_i = dense_self(CSR)
         ce_i = dense_self(CER)
+        rr_i = dense_self(RR)
 
         sub = jax.lax.broadcasted_iota(jnp.int32, (CH, BLOCK), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (CH, BLOCK), 1)
+        # the two lane-group masks are pure functions of the program's cut:
+        # hoist them so the chunk loop pays ONE select instead of two
+        # compares and an and
+        laneA = lane < cut
+        laneB = lane >= cut
 
         def body(g, c):
             slot = jax.lax.rem(g, jnp.int32(NBUF))
@@ -427,8 +449,6 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
             vs = jax.lax.rem(v // jnp.int32(65536), jnp.int32(128))
             ve = jax.lax.rem(v // jnp.int32(8388608), jnp.int32(128)) + 1
             grp = v // jnp.int32(1073741824)
-            l0 = grp * cut                              # A: [0, cut)
-            l1 = cut + grp * (jnp.int32(BLOCK) - cut)   # B: [cut, 128)
             buf = cand_buf[slot]                        # [CH, 128]
 
             # Candidate columns are [CH, 1]: on TPU that is 8 nearly-empty
@@ -441,8 +461,9 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
             cand_f = [dense_cand(f) for f in range(nfields)]
             rcp_j = dense_cand(RCP)
             idx_j = dense_cand(IDX)
-            within = ((sub >= vs) & (sub < ve)
-                      & (lane >= l0) & (lane < l1))      # dense [CH, 128]
+            rr_j = dense_cand(RR)
+            lane_ok = jnp.where(grp > 0, laneB, laneA)   # group's lane interval
+            within = (sub >= vs) & (sub < ve) & lane_ok  # dense [CH, 128]
             if want_kernel:
                 # self-pair exclusion: only the kernel sum W survives at
                 # d2 == 0, so the index test is only needed in STORE mode
@@ -454,7 +475,8 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
             same_cell = (idx_j >= cs_i) & (idx_j < ce_i)
             i_is_role_i = ~(same_cell ^ (idx_i < idx_j))
             terms = _pair_math(spec, dims, self_f, cand_f, i_is_role_i,
-                               within, rcps=(rcp_i, rcp_j))
+                               within, rcps=(rcp_i, rcp_j), p_is_pq=True,
+                               rr=(rr_i, rr_j))
             for k, key in enumerate(keys):
                 t = terms[key]                          # [CH, 128]
                 h = CH
@@ -520,7 +542,7 @@ def pallas_block_sweep(
 
     packed, packedT = pack_block_fields(
         position, velocity, density, pressure, particles.motion_limiter,
-        tables,
+        tables, spec=spec,
     )
 
     kernel, n_keys, k_pad = _make_block_kernel(spec, dims, maxb)

@@ -271,25 +271,32 @@ def init_program_tables(grid: Grid, maxc: int, R: int, capacity: int,
     )
 
 
-def _grad_w_factor(kern, q, d):
+def _grad_w_factor(kern, q, d, scale=1.0):
     """Scalar gradient factor g with grad_W = g * x_ij, on [MPC, CSEG] tiles.
 
     Wendland C2: alpha_d 5 (q-2)^3 / (8 h^2)  (reference SPHKernels.jl:80-87).
     Cubic spline: dW/dq / (h (|x|+eta^2))     (reference SPHKernels.jl:94-110).
+
+    The kernel-support cutoff is built in: Wendland clamps t = min(q-2, 0)
+    (bitwise-identical to select-masking on d2 <= H2, since both read the
+    same f32 q; at q == 2 exactly both give 0), the cubic dW/dq chain
+    already selects 0 past q = 2.  Callers therefore need no d2 cutoff on
+    any g-proportional term.  ``scale`` folds a constant (e.g. m0) into the
+    factor at no per-pair cost.
     """
     from ..config import KernelFamily
 
     aD = kern.alpha_d
     if kern.family is KernelFamily.WENDLAND_C2:
-        t = q - 2.0
-        return aD * 5.0 * (t * t * t) / (8.0 * kern.h * kern.h)
+        t = jnp.minimum(q - 2.0, 0.0)
+        return (aD * 5.0 * scale / (8.0 * kern.h * kern.h)) * (t * t * t)
     dwdq_inner = aD * (-3.0 * q + 2.25 * q * q)
     t2 = 2.0 - q
     dwdq_outer = aD * (-0.75) * (t2 * t2)
     dwdq = jnp.where(
         q <= 1.0, dwdq_inner, jnp.where(q <= 2.0, dwdq_outer, jnp.zeros_like(q))
     )
-    return dwdq * kern.h_inv / (d + kern.eta2)
+    return dwdq * (kern.h_inv * scale) / (d + kern.eta2)
 
 
 def _w_value(kern, q):
@@ -307,7 +314,7 @@ def _w_value(kern, q):
 
 
 def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within,
-               rcps=None):
+               rcps=None, p_is_pq=False, rr=None):
     """All per-pair physics on [R, L] tiles (sublane = self particle, lane =
     candidate) - plain VPU elementwise ops that Mosaic lowers directly.
 
@@ -322,9 +329,22 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within,
       shifting modes);
     * reciprocals of per-particle densities are rank-1 ([1,L] / [R,1]), not
       full-tile divisions;
-    * the pair mask is folded into the kernel-gradient factor ``g`` once
-      (every output term except the kernel sum W is proportional to g, so a
-      single select replaces one mask multiply per output).
+    * the pair mask is folded into the kernel-gradient factor ``g`` once,
+      and the kernel-support cutoff itself is FREE (built into
+      ``_grad_w_factor``: Wendland clamps min(q-2, 0), cubic's dW/dq chain
+      already selects 0 past q = 2) - ``within`` carries only table/window
+      validity, no d2 test;
+    * on the default (no-gw) path the constant m0 is folded into g at trace
+      time - every output term (continuity, diffusion D, momentum,
+      viscosity) carries exactly one factor of m0 - and the artificial-
+      viscosity constant 2 alpha c0 h rides the fused reciprocal while
+      C_d / (2 alpha c0 h) rides g_d2, so no per-pair constant multiplies
+      remain;
+    * ``p_is_pq`` callers pack p/rho instead of p: the pressure factor
+      (p_i + p_j)/(rho_i rho_j) becomes pq_i rcp_j + pq_j rcp_i (and the
+      cubic tensile term loses a squaring);
+    * ``rr`` callers pack rho + C_lin z: the LINEAR-diffusion numerator
+      rho_j - rho_i - rho_h collapses to rr_j - rr_i.
 
     The physics mirrors ops/interactions.py exactly (which in turn mirrors
     ComputeInteractions!, reference SPHCellList.jl:268-317); the interpret
@@ -346,11 +366,16 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within,
     want_shift = spec.shifting is ShiftingMode.PLANAR
     vm = spec.viscosity
     need_gw = want_kernel or want_shift or vm is ViscosityModel.LAMINAR_SPS
+    # m0 folds into g when gw is not materialized (every default-path output
+    # is proportional to g and carries exactly one m0); the gw paths (SPS
+    # tensor, kernel output, shifting) need the bare kernel gradient, so
+    # they keep the explicit per-term factor ``m0x`` instead.
+    fold_m0 = not need_gw
+    m0x = 1.0 if fold_m0 else c.m0
 
     xij = [pos_i[d] - pos_j[d] for d in range(dims)]
     vij = [vel_i[d] - vel_j[d] for d in range(dims)]
     d2 = sum(x * x for x in xij)
-    within = within & (d2 <= kern.H2)
 
     if rcps is None:
         # Reciprocal guards at rank 1: padded HBM slots carry rho == 0
@@ -369,12 +394,10 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within,
 
     d = jnp.sqrt(d2)
     q = d * kern.h_inv
-    g = _grad_w_factor(kern, q, d)
-    # fold the pair mask into g once: every output term except W is
-    # proportional to g (or a power of it), so masked lanes vanish without a
-    # per-output mask multiply.  q is deliberately NOT clipped to [0, 2]:
-    # out-of-support lanes produce garbage-but-finite g that this select
-    # zeroes (only the STORE-mode W value needs its own mask below).
+    g = _grad_w_factor(kern, q, d, scale=c.m0 if fold_m0 else 1.0)
+    # fold the window-validity mask into g once: every output term except W
+    # is proportional to g, so a single select replaces one mask multiply
+    # per output (the d2 cutoff itself is already inside _grad_w_factor).
     g = jnp.where(within, g, jnp.zeros_like(g))
     # scalar identities: x_ij . grad_W = g * d2;  v_ij . grad_W = g * (v.x)
     v_dot_x = sum(v * x for v, x in zip(vij, xij))
@@ -384,55 +407,71 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within,
     # shared denominator of diffusion psi and artificial-viscosity mu.  On
     # the artificial path the two needed reciprocals 1/d2_eta and
     # 1/(rho_i+rho_j) are fused into ONE (reciprocals are multi-op on the
-    # VPU): r = 1/(d2_eta * rsum), inv_d2 = r * rsum.
+    # VPU), and the viscosity constant C_pi = 2 alpha c0 h rides it (the
+    # diffusion scale below compensates with C_d / C_pi).
     d2_eta = d2 + kern.eta2
-    if vm is ViscosityModel.ARTIFICIAL:
+    C_pi = 2.0 * c.alpha * c.c0 * kern.h * m0x
+    if vm is ViscosityModel.ARTIFICIAL and C_pi != 0.0:
         rho_sum = rho_i + rho_j
-        r_fused = 1.0 / (d2_eta * rho_sum)
-        inv_d2 = r_fused * rho_sum
+        r_fused = C_pi / (d2_eta * rho_sum)
+        inv_d2 = r_fused * rho_sum                 # = C_pi / d2_eta
+        diff_scale = 1.0 / C_pi
     else:
+        r_fused = None
         inv_d2 = 1.0 / d2_eta
+        diff_scale = 1.0
 
     # continuity (reference :289-291): drho+ = -rho_i (m0/rho_j) (-v_ij.gw)
-    drho = (c.m0 * rho_i) * rcp_rho_j * g_vx
+    drho = (m0x * rho_i) * rcp_rho_j * g_vx
 
     # density diffusion (reference SPHDensityDiffusionModels.jl) with the
     # cell-centric role quirk (see models/density_diffusion.py)
     diff = spec.diffusion
     if diff is not DensityDiffusionModel.ZERO:
-        diff_n = rho_j - rho_i                                   # rho_ji
         ml_gate = None
-        if diff is not DensityDiffusionModel.ZERO_GRAVITY_LINEAR:
-            if diff is DensityDiffusionModel.LINEAR:
-                # rho_h = [rho0 (-g)(-x_z)] * rho0/(Cb gamma), folded
-                C_lin = c.rho0 * (-c.g) * (-1.0) * ((1.0 / (c.Cb * c.gamma)) * c.rho0)
-                rho_h = C_lin * xij[-1]
-            else:  # COMPLEX: inverse hydrostatic EOS, 7th root; not odd in
-                # P, so the j-role endpoint evaluates the i-role orientation
-                # (-P_h) and flips the sign.
-                P_h = c.rho0 * (-c.g) * (-xij[-1])
+        if diff is DensityDiffusionModel.ZERO_GRAVITY_LINEAR:
+            diff_n = (rr[1] - rr[0]) if rr is not None else (rho_j - rho_i)
+        elif diff is DensityDiffusionModel.LINEAR:
+            # rho_h = [rho0 (-g)(-x_z)] * rho0/(Cb gamma), folded; packed
+            # rr = rho + C_lin z collapses rho_ji - rho_h to one subtract
+            C_lin = c.rho0 * (-c.g) * (-1.0) * ((1.0 / (c.Cb * c.gamma)) * c.rho0)
+            if rr is not None:
+                diff_n = rr[1] - rr[0]
+            else:
+                diff_n = (rho_j - rho_i) - C_lin * xij[-1]
+            ml_gate = ml_i * ml_j
+        else:  # COMPLEX: inverse hydrostatic EOS, 7th root; not odd in
+            # P, so the j-role endpoint evaluates the i-role orientation
+            # (-P_h) and flips the sign.
+            P_h = c.rho0 * (-c.g) * (-xij[-1])
 
-                def _inv_eos(P):
-                    arg = 1.0 + P * c.Cb_inv
-                    root = jnp.sign(arg) * jnp.exp(
-                        jnp.log(jnp.abs(arg) + 1e-30) * (1.0 / 7.0)
-                    )
-                    return c.rho0 * (root - 1.0)
+            def _inv_eos(P):
+                arg = 1.0 + P * c.Cb_inv
+                root = jnp.sign(arg) * jnp.exp(
+                    jnp.log(jnp.abs(arg) + 1e-30) * (1.0 / 7.0)
+                )
+                return c.rho0 * (root - 1.0)
 
-                rho_h = jnp.where(i_is_role_i, _inv_eos(P_h), -_inv_eos(-P_h))
-            diff_n = diff_n - rho_h
+            rho_h = jnp.where(i_is_role_i, _inv_eos(P_h), -_inv_eos(-P_h))
+            diff_n = (rho_j - rho_i) - rho_h
             ml_gate = ml_i * ml_j
         # D = delta h c0 (m0/rho_jrole) * [2 (rho_ji - rho_h)(-x).gw / d2eta]
-        #   = C_d * vol * diff_n * inv_d2 * g_d2,  C_d = -2 delta h c0 m0
-        C_d = -2.0 * c.delta_sph * kern.h * c.c0 * c.m0
-        vol = jnp.where(i_is_role_i, C_d * rcp_rho_j, C_d * rcp_rho_i)
-        D = vol * diff_n * (inv_d2 * g_d2)
+        #   = C_d * vol * diff_n * inv_d2 * g_d2,  C_d = -2 delta h c0 m0;
+        # m0 already rides g_d2 on the folded path, and inv_d2 carries C_pi
+        # on the artificial path - diff_scale compensates.
+        C_d = -2.0 * c.delta_sph * kern.h * c.c0 * m0x * diff_scale
+        vol = jnp.where(i_is_role_i, rcp_rho_j, rcp_rho_i)
+        D = vol * diff_n * ((C_d * inv_d2) * g_d2)
         if ml_gate is not None:
             D = D * ml_gate
         drho = drho + D
 
     # momentum (reference :299-303): dvdt = -m0 (pfac + f_ab) g * x_ij
-    A_p = (-c.m0) * ((p_i + p_j) * (rcp_rho_i * rcp_rho_j))
+    # (m0 rides g on the folded path; p_is_pq callers pack p/rho)
+    if p_is_pq:
+        A_p = (-m0x) * (p_i * rcp_rho_j + p_j * rcp_rho_i)
+    else:
+        A_p = (-m0x) * ((p_i + p_j) * (rcp_rho_i * rcp_rho_j))
     if kern.family is KernelFamily.CUBIC_SPLINE:
         w_q = _w_value(kern, q)
         # static python evaluation of W at q = dx (reference's raw-distance
@@ -445,24 +484,31 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within,
         else:
             w_dx = 0.0
         ratio = w_q * (1.0 / w_dx)
-        f_ab = (
-            (p_i * (rcp_rho_i * rcp_rho_i)) + (p_j * (rcp_rho_j * rcp_rho_j))
-        ) * (kern.cubic_eps * (ratio * ratio) * (ratio * ratio))
-        A_p = A_p + (-c.m0) * f_ab
+        if p_is_pq:
+            f_ab = (p_i * rcp_rho_i + p_j * rcp_rho_j) * (
+                kern.cubic_eps * (ratio * ratio) * (ratio * ratio)
+            )
+        else:
+            f_ab = (
+                (p_i * (rcp_rho_i * rcp_rho_i)) + (p_j * (rcp_rho_j * rcp_rho_j))
+            ) * (kern.cubic_eps * (ratio * ratio) * (ratio * ratio))
+        A_p = A_p + (-m0x) * f_ab
 
     # viscosity (reference SPHViscosityModels.jl)
     if vm is ViscosityModel.ARTIFICIAL:
         # pi = m0 alpha c0 mu / rho_bar, mu = h (v.x)/d2eta, only where
-        # v.x < 0 - the gate folds into min(v.x, 0) (one op, no select)
-        pi_fac = (
-            (2.0 * c.m0 * c.alpha * c.c0 * kern.h)
-            * jnp.minimum(v_dot_x, 0.0) * r_fused
-        )
-        A = (A_p + pi_fac) * g
+        # v.x < 0 - the gate folds into min(v.x, 0) (one op, no select);
+        # the constant 2 alpha c0 h m0x already rides r_fused, and the
+        # remaining m0 rides g on the folded path.
+        if r_fused is not None:
+            pi_fac = jnp.minimum(v_dot_x, 0.0) * r_fused
+            A = (A_p + pi_fac) * g
+        else:  # alpha == 0: no viscous term
+            A = A_p * g
         dvdt = [A * x for x in xij]
     elif vm in (ViscosityModel.LAMINAR, ViscosityModel.LAMINAR_SPS):
         # term = 4 m0 nu0 (x.gw) / ((rho_i+rho_j) + d2eta)  [DSPH form quirk]
-        term = (4.0 * c.m0 * c.nu0) * g_d2 / ((rho_i + rho_j) + d2_eta)
+        term = (4.0 * c.nu0 * m0x) * g_d2 / ((rho_i + rho_j) + d2_eta)
         A = A_p * g
         dvdt = [A * x + term * v for x, v in zip(xij, vij)]
         if vm is ViscosityModel.LAMINAR_SPS:
@@ -501,7 +547,9 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within,
         out[f"dvdt{r}"] = dvdt[r]
     if want_kernel:
         w = _w_value(kern, q)
-        out["w"] = w * within.astype(w.dtype)
+        # W is the only output not proportional to g: it needs the explicit
+        # support cutoff on top of the window-validity mask
+        out["w"] = w * (within & (d2 <= kern.H2)).astype(w.dtype)
         for r in range(dims):
             out[f"gw{r}"] = gw[r]
     if want_shift:

@@ -89,7 +89,7 @@ def main():
         real_sweep = step_mod._sweep
 
         def zero_sweep(cfg_, pp, cs_, pos_, dens_, pres_, vel_, idx_base,
-                       tables=None):
+                       tables=None, btables=None):
             from sphexample_tpu.ops.interactions import SweepOut
             z = jnp.zeros_like(dens_)
             return SweepOut(drhodt=z, acceleration=jnp.zeros_like(pos_),
@@ -253,6 +253,75 @@ def main():
                 timeit(mode, sweep_loop(), p2.density)
             finally:
                 ps._make_kernel = real_mk
+
+    # ---- block-sweep probes (the gen-3 single-chip hot path) ----
+    from sphexample_tpu.ops import pallas_block_sweep as pbs
+
+    if cfg.ct_cap and ("bsweep" in which or "bstub" in which
+                       or "blaunch" in which):
+        btables = jax.jit(
+            lambda cs_: pbs.make_block_tables(
+                cs_, p2.cell, p2.active, cfg.grid, p2.capacity, cfg.ct_cap)
+        )(cs)
+        print(f"# block chunks: {int(btables.chunk_total)} / ct_cap "
+              f"{cfg.ct_cap} (CH={pbs.CH})", file=sys.stderr)
+
+        def bsweep_loop():
+            pbs.pallas_block_sweep.clear_cache()
+
+            @jax.jit
+            def run(dens0):
+                def body(i, dens_):
+                    out = pbs.pallas_block_sweep(
+                        cfg.spec, cfg.grid, cfg.ct_cap,
+                        p2, cs, p2.position, dens_, p2.pressure, p2.velocity,
+                        tables=btables)
+                    return dens_ + 0.0 * out.drhodt + 0.0 * out.acceleration[:, 0]
+                return jax.lax.fori_loop(0, reps, body, dens0)
+            return run
+
+        if "bsweep" in which:
+            timeit("bsweep", bsweep_loop(), p2.density)
+
+        if "blaunch" in which:
+            # XLA pack/collect glue + grid launch floor: kernel body returns
+            # after zeroing the output block (no DMA, no chunk loop)
+            real_mk = pbs._make_block_kernel
+
+            def launch_mk(spec, dims, maxb):
+                kernel, n_keys, k_pad = real_mk(spec, dims, maxb)
+
+                def lk(prog_start_ref, chunk_tab_ref, self_blk, packedT_hbm,
+                       out_blk, cand_buf, acc_ref, sem):
+                    out_blk[...] = jnp.zeros_like(out_blk)
+
+                return lk, n_keys, k_pad
+
+            pbs._make_block_kernel = launch_mk
+            try:
+                timeit("blaunch", bsweep_loop(), p2.density)
+            finally:
+                pbs._make_block_kernel = real_mk
+
+        if "bstub" in which:
+            # pair math stubbed to one mul: bsweep - bstub = real pair math;
+            # bstub itself = launch + DMA + decode/mask/reduce scaffold
+            real = pbs._pair_math
+
+            def stub(spec, dims, self_f, cand_f, i_is_role_i, within,
+                     rcps=None, **kw):
+                d = self_f[0] - cand_f[0]
+                mf = within.astype(d.dtype)
+                out = {"drho": d * mf}
+                for r in range(dims):
+                    out[f"dvdt{r}"] = d * mf
+                return out
+
+            pbs._pair_math = stub
+            try:
+                timeit("bstub", bsweep_loop(), p2.density)
+            finally:
+                pbs._pair_math = real
 
     if "xsweep" in which:
         import dataclasses
