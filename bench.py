@@ -23,6 +23,62 @@ REFERENCE_CPU_PSTEPS = 3.1e4  # "1+ day" baseline, see BASELINE.md
 TARGET_PSTEPS = 1e8           # driver north-star (BASELINE.md)
 
 
+def parity_gate(args):
+    """Compiled-kernel parity vs the XLA sweep on a small dam break.
+
+    Interpret-mode CI provably cannot catch Mosaic lowering bugs (the roll
+    postmortem, PERFORMANCE.md), so the bench artifact itself carries the
+    compiled-vs-XLA check for the exact hot path being timed: a silently
+    corrupted kernel can never post a headline number unnoticed.  Returns a
+    dict recorded in the JSON line; non-OK also fails the process.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sphexample_tpu import (
+        DensityDiffusionModel, KernelFamily, SimulationConstants,
+        SimulationMetaData, ViscosityModel, assemble_simulation, make_kernel,
+    )
+    from sphexample_tpu.core.step import _sweep
+    from sphexample_tpu.io.casegen import dam_break_3d
+    from sphexample_tpu.ops import cell_list as cl
+
+    dx = 0.02
+    pos, dens, ptype, grp, idp = dam_break_3d(dx)
+    const = SimulationConstants(dx=dx, c0=33.14, alpha=0.1, m0=1000 * dx**3,
+                                cfl=0.2)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 3,
+                       h=float(np.sqrt(3 * dx**2)))
+    meta = SimulationMetaData(
+        simulation_name="BenchParity", save_location="out/bench_parity",
+        dims=3, use_pallas=True,
+    )
+    sim = assemble_simulation(pos, dens, ptype, grp, idp, meta, const, kern,
+                              ViscosityModel.ARTIFICIAL,
+                              DensityDiffusionModel.LINEAR)
+    p = sim.state.particles
+    vel = jnp.where((p.ptype == 1)[:, None],
+                    jnp.array([0.0, 0.0, -1.0], p.position.dtype),
+                    jnp.zeros((3,), p.position.dtype))
+    p = p.replace(velocity=vel * p.motion_limiter[:, None])
+    import jax
+
+    p2, cs, _ = jax.jit(lambda pp: cl.rebuild(pp, kern.H_inv, sim.cfg.grid))(p)
+
+    out_k = _sweep(sim.cfg, p2, cs, p2.position, p2.density, p2.pressure,
+                   p2.velocity, 0)
+    cfg_x = dataclasses.replace(sim.cfg, use_pallas=False)
+    out_x = _sweep(cfg_x, p2, cs, p2.position, p2.density, p2.pressure,
+                   p2.velocity, 0)
+    d_rho = float(jnp.max(jnp.abs(out_k.drhodt - out_x.drhodt)))
+    d_acc = float(jnp.max(jnp.abs(out_k.acceleration - out_x.acceleration)))
+    ok = d_rho < 1e-2 and d_acc < 1e-3 and d_rho == d_rho
+    return {"drhodt_maxdiff": round(d_rho, 6), "acc_maxdiff": round(d_acc, 8),
+            "ok": bool(ok)}
+
+
 def run_case(args, case, dx_arg):
     import jax
 
@@ -114,6 +170,8 @@ def main():
     ap.add_argument("--scale-dx", type=float, default=0.006,
                     help="second measurement at this dx (~430k particles); "
                          "0 disables it")
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the compiled-vs-XLA parity gate")
     args = ap.parse_args()
 
     if args.cpu:
@@ -121,6 +179,13 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     import jax  # noqa: F811
+
+    parity = None
+    if not args.no_parity and jax.default_backend() == "tpu":
+        try:
+            parity = parity_gate(args)
+        except Exception as e:  # noqa: BLE001 - still record the failure
+            parity = {"ok": False, "error": repr(e)[:200]}
 
     dx, n, psteps = run_case(args, args.case, args.dx)
     record = {
@@ -130,6 +195,8 @@ def main():
         "vs_baseline": round(psteps / REFERENCE_CPU_PSTEPS, 2),
         "vs_target": round(psteps / TARGET_PSTEPS, 4),
     }
+    if parity is not None:
+        record["compiled_parity"] = parity
     # scale evidence: same invocation, bigger N (skipped off-TPU / on request)
     if (
         args.scale_dx
@@ -148,6 +215,8 @@ def main():
         except Exception as e:  # noqa: BLE001 - evidence, not the metric
             record["scale_check"] = {"error": repr(e)[:200]}
     print(json.dumps(record))
+    if parity is not None and not parity["ok"]:
+        sys.exit(1)  # never let a corrupted kernel post a headline quietly
 
 
 if __name__ == "__main__":
