@@ -17,7 +17,8 @@ XLA gather-back and the grid launch floor each costing ~1 ms on top):
     compute without per-program warm-up stalls,
   * validity needs **no segment bounds**: a chunk's rows are masked by the
     table's [vstart, vend) interval (dedup between overlapping 8-aligned
-    windows + the inactive tail) and by ``d2 <= H^2``.  Any real particle
+    windows + the inactive tail); the kernel-support cutoff itself is free
+    (built into the gradient factor).  Any real particle
     inside the DMA cover but outside the stencil cells is >= one cell pitch
     (2h) from every self, so the kernel-support cutoff zeroes it exactly -
     cells one pitch apart cannot interact (reference stencil reasoning,
@@ -58,8 +59,8 @@ BLOCK = 128
 # Candidate chunk height in sublanes (8-aligned DMA windows of the row-major
 # pack).  Measured on the headline case: 32 -> 17.4, 64 -> 14.0,
 # 128 -> 12.6 ms/sweep (per-chunk fixed costs - decode, mask build, dense
-# broadcasts, accumulate - amortize over more rows; 256 is unrepresentable:
-# vend = CH must fit the 8-bit field of the vv chunk code).
+# broadcasts, accumulate - amortize over more rows); the packed chunk word
+# supports any CH <= 256 that is a multiple of 8.
 CH = 128
 # DMA ring: chunk g lands in buffer slot g % NBUF; the pipeline keeps DEPTH
 # chunks in flight (issued at compute step g - DEPTH), crossing program
@@ -70,6 +71,10 @@ DEPTH = 12
 # spanning <= NS (y,z)-rows get exact one-row runs; sparser blocks get
 # coalesced multi-row runs (correct by the d2 argument, just wider).
 NS = 10
+# Chunk-loop unroll factor (ILP across chunk boundaries; A/B via
+# tools/sweep_bench.py).  The dynamic fori_loop body is compiled once per
+# unroll copy, so compile time stays flat.
+UNROLL = 1
 # Lane groups per block: selves are split at the first (y,z)-row boundary
 # and each group gets its own tight cover (a block straddling a row boundary
 # otherwise unions the x-extents of both rows - measured 23% of blocks
@@ -106,10 +111,13 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     next row head - nearly the whole row.  Each of the <= 3 disjoint
     row-ranges per group is split into NS slots; each slot becomes one
     contiguous sorted-row run [s, e), chunked into ceil((e - floor8(s)) / CH)
-    DMA windows tagged with the group bit (the lane interval is [0, cut) for
-    group A and [cut, 128) for B, with ``cut`` packed into ``prog_start``'s
-    high byte - per-chunk lane bounds measured over the 1 MB scoped-SMEM cap
-    at 430k particles).  Chunk validity [vstart, vend) dedups the 8-aligned
+    DMA windows.  Group B's chunks follow group A's within a block, so a
+    chunk's lane group is just ``g >= prog_mid[b]`` (no per-chunk bit); the
+    lane interval is [0, cut) for group A and [cut, 128) for B, with ``cut``
+    packed into ``prog_start``'s high byte (per-chunk lane bounds measured
+    over the 1 MB scoped-SMEM cap at 430k particles).  The packed chunk
+    word is vstart | (vend-1)<<8 | off8/8 << 16 (logical shifts: the sign
+    bit is data; supports CH <= 256).  Chunk validity [vstart, vend) dedups the 8-aligned
     window overlap against neighboring runs and excludes the inactive tail;
     everything else inside a window is masked by the kernel-support cutoff
     (see module docstring).
@@ -161,13 +169,13 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
 
     kminB = jnp.min(jnp.where(mB, kb, big), axis=1)
     groups = [
-        _extent(mA, ra, ra) + (0,),
-        _extent(mB, kminB // nx, rb) + (1,),
+        _extent(mA, ra, ra),
+        _extent(mB, kminB // nx, rb),
     ]
 
-    run_s, run_e, run_gb = [], [], []
+    run_s, run_e = [], []
     j = jnp.arange(NS, dtype=jnp.int32)[None, :]        # [1, NS]
-    for any_g, ra_g, rb_g, xlo, xhi, gbit in groups:
+    for any_g, ra_g, rb_g, xlo, xhi in groups:
         # disjoint row-ranges covering {r + dy + ny*dz : r in [ra_g, rb_g]}
         if grid.dims == 3:
             ranges = [
@@ -177,7 +185,6 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
             ]
         else:
             ranges = [(ra_g - 1, rb_g + 1)]
-        gb = jnp.full((maxb, NS), gbit, jnp.int32)
         for lo, hi in ranges:
             lo = jnp.clip(lo, 0, nrows - 1)[:, None]
             hi = jnp.clip(hi, -1, nrows - 1)[:, None]
@@ -191,19 +198,23 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
             e = jnp.where(live, cell_start[k_hi + 1], 0)
             run_s.append(s)
             run_e.append(e)
-            run_gb.append(gb)
     s = jnp.concatenate(run_s, axis=1).reshape(-1)      # [maxb * NR]
     e = jnp.concatenate(run_e, axis=1).reshape(-1)
-    gb = jnp.concatenate(run_gb, axis=1).reshape(-1)
 
     s8 = (s // 8) * 8
     nch = jnp.where(e > s, -(-(e - s8) // CH), 0)       # [maxb * NR]
     gcum = jnp.cumsum(nch)
     total = gcum[-1].astype(jnp.int32)
-    nch_blk = nch.reshape(maxb, NR).sum(axis=1)
+    NRg = NR // NG  # runs per lane group (group A columns come first)
+    nch_grp = nch.reshape(maxb, NG, NRg).sum(axis=2)    # [maxb, NG]
+    nch_blk = nch_grp.sum(axis=1)
     prog_start = jnp.concatenate(
         [jnp.zeros((1,), nch_blk.dtype), jnp.cumsum(nch_blk)]
     )
+    # group B's chunks follow group A's within a block: the kernel derives
+    # the lane-group of chunk g from g >= prog_mid[b] (no per-chunk bit)
+    prog_mid = jnp.minimum(prog_start[:-1] + nch_grp[:, 0], ct_cap)
+    prog_mid = prog_mid.astype(jnp.int32)
     prog_start = jnp.minimum(prog_start, ct_cap).astype(jnp.int32)
     # pack the block's lane-group cut into the high byte (entries 0..maxb-1;
     # entry maxb stays the bare total, read as the kernel's chunk count).
@@ -227,29 +238,30 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     vend = jnp.clip(e[rid] - off8, 0, CH)
     # A run's last window may overhang the array tail (off8 + CH > capacity);
     # dynamic slices CLAMP the start, silently shifting the window against
-    # the validity interval.  Clamp here instead and shift [vstart, vend)
+    # its validity interval.  Clamp here instead and shift [vstart, vend)
     # by the same amount so covered rows stay exactly [max(s,off8), e) -
     # no loss, no double count against the previous chunk.  vend <= CH still
-    # holds (e <= capacity and the clamped window ends at capacity), so the
-    # 8-bit vv fields never overflow for CH <= 248.
+    # holds (e <= capacity and the clamped window ends at capacity).
     off8c = jnp.maximum(jnp.minimum(off8, capacity - CH), 0)
     sh = off8 - off8c
     off8 = off8c
     vstart = jnp.clip(vstart + sh, 0, CH)
     vend = jnp.clip(vend + sh, 0, CH)
     dead = t >= jnp.minimum(total, ct_cap)
-    # packed chunk code (one SMEM word per chunk): off8/8 (16b) | vstart
-    # << 16 (7b: live chunks have vstart <= CH-1) | (vend-1) << 23 (7b)
-    # | group bit << 30.  Dead (padding) entries are 0 - they are DMA'd
-    # during warm-up (offset 0, harmless) but never decoded for compute.
-    code = ((off8 // 8)
-            + vstart * 65536
-            + jnp.maximum(vend - 1, 0) * 8388608
-            + gb[rid] * 1073741824)
+    # packed chunk code (one SMEM word per chunk, built with bit ops so the
+    # sign bit is just data): vstart (8b) | (vend-1) << 8 (8b) | off8/8
+    # << 16 (16b; logical shifts in the kernel).  Supports CH <= 256.
+    # Dead (padding) entries are 0 - they are DMA'd during warm-up (offset
+    # 0, harmless) but never decoded for compute.
+    code = jnp.bitwise_or(
+        jnp.bitwise_or(vstart, jnp.left_shift(jnp.maximum(vend - 1, 0), 8)),
+        jnp.left_shift(off8 // 8, 16),
+    )
     tab = jnp.where(dead, 0, code)
 
     return BlockTables(
         prog_start=prog_start,
+        prog_mid=prog_mid,
         chunk_tab=tab.astype(jnp.int32),
         csr=csr, cer=cer, idx=idx,
         chunk_total=total,
@@ -263,7 +275,7 @@ def init_block_tables(capacity: int, ct_cap: int) -> BlockTables:
     z = functools.partial(jnp.zeros, dtype=jnp.int32)
     zf = functools.partial(jnp.zeros, dtype=jnp.float32)
     return BlockTables(
-        prog_start=z((maxb + 1,)), chunk_tab=z((ct_cap,)),
+        prog_start=z((maxb + 1,)), prog_mid=z((maxb,)), chunk_tab=z((ct_cap,)),
         csr=zf((capacity,)), cer=zf((capacity,)),
         idx=zf((capacity,)), chunk_total=z(()),
     )
@@ -373,6 +385,7 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
 
     def kernel(
         prog_start_ref,   # [maxb + 1] SMEM (prefetch): chunk start | cut<<24
+        prog_mid_ref,     # [maxb] SMEM (prefetch): first group-B chunk
         chunk_tab_ref,    # [ct_cap] SMEM (prefetch): packed chunk codes
         self_blk,         # [16, 128] VMEM (BlockSpec over the lane-major pack)
         packedT_hbm,      # [N, 128] HBM (row-major candidates)
@@ -388,10 +401,13 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
         g0 = jax.lax.rem(pv, M24)
         cut = pv // M24 + 1   # stored as cut-1 (int32 headroom, see builder)
         g1 = jax.lax.rem(prog_start_ref[b + 1], M24)
+        mid = prog_mid_ref[b]
 
         def copy_for(g, slot):
+            # chunk code: vstart (8b) | vend-1 << 8 (8b) | off8/8 << 16
+            # (16b; the sign bit is data - decode with logical shifts)
             off8 = pl.multiple_of(
-                jax.lax.rem(chunk_tab_ref[g], jnp.int32(65536)) * 8, 8
+                jax.lax.shift_right_logical(chunk_tab_ref[g], jnp.int32(16)) * 8, 8
             )
             return pltpu.make_async_copy(
                 packedT_hbm.at[pl.ds(off8, CH)], cand_buf.at[slot],
@@ -444,11 +460,11 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
                 copy_for(ga, jax.lax.rem(ga, jnp.int32(NBUF))).start()
             copy_for(g, slot).wait()
 
-            # decode off8/8 (16b) | vs (7b) | ve-1 (7b) | group bit
+            # decode vstart (8b) | vend-1 (8b) | off8/8 (16b, high)
             v = chunk_tab_ref[g]
-            vs = jax.lax.rem(v // jnp.int32(65536), jnp.int32(128))
-            ve = jax.lax.rem(v // jnp.int32(8388608), jnp.int32(128)) + 1
-            grp = v // jnp.int32(1073741824)
+            vs = jnp.bitwise_and(v, jnp.int32(255))
+            ve = jnp.bitwise_and(
+                jax.lax.shift_right_logical(v, jnp.int32(8)), jnp.int32(255)) + 1
             buf = cand_buf[slot]                        # [CH, 128]
 
             # Candidate columns are [CH, 1]: on TPU that is 8 nearly-empty
@@ -462,7 +478,9 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
             rcp_j = dense_cand(RCP)
             idx_j = dense_cand(IDX)
             rr_j = dense_cand(RR)
-            lane_ok = jnp.where(grp > 0, laneB, laneA)   # group's lane interval
+            # lane-group of chunk g: group-B chunks follow group-A's within
+            # the block (prog_mid), so no per-chunk group bit is needed
+            lane_ok = jnp.where(g >= mid, laneB, laneA)
             within = (sub >= vs) & (sub < ve) & lane_ok  # dense [CH, 128]
             if want_kernel:
                 # self-pair exclusion: only the kernel sum W survives at
@@ -480,13 +498,18 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
             for k, key in enumerate(keys):
                 t = terms[key]                          # [CH, 128]
                 h = CH
-                while h > 8:                            # tree-reduce to [8, 128]
+                while h > 8 and h % 16 == 0:            # tree-reduce to [8, 128]
                     h //= 2
                     t = t[0:h] + t[h : 2 * h]
+                if h > 8:  # CH = 192: h = 24 -> sum three 8-row tiles
+                    r8 = t[0:8]
+                    for o in range(8, h, 8):
+                        r8 = r8 + t[o : o + 8]
+                    t = r8
                 acc_ref[k] += t
             return c
 
-        jax.lax.fori_loop(g0, g1, body, 0)
+        jax.lax.fori_loop(g0, g1, body, 0, unroll=UNROLL if UNROLL > 1 else None)
 
         rows = [jnp.sum(acc_ref[k], axis=0, keepdims=True)
                 for k in range(n_keys)]
@@ -547,7 +570,7 @@ def pallas_block_sweep(
 
     kernel, n_keys, k_pad = _make_block_kernel(spec, dims, maxb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(maxb,),
         in_specs=[
             pl.BlockSpec((16, BLOCK), lambda b, *_: (0, b)),
@@ -566,7 +589,7 @@ def pallas_block_sweep(
         out_shape=(jax.ShapeDtypeStruct((k_pad, cap), jnp.float32),),
         interpret=interpret,
     )(
-        tables.prog_start, tables.chunk_tab,
+        tables.prog_start, tables.prog_mid, tables.chunk_tab,
         packed, packedT,
     )
     return _collect(out, spec, particles.active, position.dtype, dims)

@@ -63,7 +63,7 @@ def state_specs(axis: str = AXIS) -> SimulationState:
         # the block sweep is single-chip only: sharded states carry EMPTY
         # block tables ((0,)-shaped leaves shard trivially)
         block_tables=BlockTables(
-            prog_start=P(axis), chunk_tab=P(axis),
+            prog_start=P(axis), prog_mid=P(axis), chunk_tab=P(axis),
             csr=P(axis), cer=P(axis), idx=P(axis), chunk_total=P(),
         ),
         max_chunks=P(),

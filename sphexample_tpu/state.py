@@ -171,11 +171,13 @@ class BlockTables:
 
     prog_start: jax.Array   # [maxb + 1] int32: first flat chunk (low 24 bits)
     #                         | block lane-group cut << 24 (entry maxb: total)
-    chunk_tab: jax.Array    # [ct_cap] int32 packed chunk code: off8/8 (16b)
-                            # | vstart << 16 (7b) | (vend-1) << 23 (7b)
-                            # | lane-group bit << 30.  ONE word per chunk:
-                            # two words measured over the 1 MB scoped-SMEM
-                            # cap at 430k particles.
+    prog_mid: jax.Array     # [maxb] int32: first group-B chunk of the block
+                            # (chunk g's lane group = g >= prog_mid[b])
+    chunk_tab: jax.Array    # [ct_cap] int32 packed chunk code: vstart (8b)
+                            # | (vend-1) << 8 (8b) | off8/8 << 16 (16b,
+                            # logical shifts - the sign bit is data).  ONE
+                            # word per chunk: two words measured over the
+                            # 1 MB scoped-SMEM cap at 430k particles.
     csr: jax.Array          # [capacity] f32 own-cell start (role quirk)
     cer: jax.Array          # [capacity] f32 own-cell end
     idx: jax.Array          # [capacity] f32 sorted index (exact <= 2^24)
@@ -185,7 +187,7 @@ class BlockTables:
 def empty_block_tables() -> BlockTables:
     z = jnp.zeros((0,), dtype=jnp.int32)
     zf = jnp.zeros((0,), dtype=jnp.float32)
-    return BlockTables(prog_start=z, chunk_tab=z, csr=zf, cer=zf,
+    return BlockTables(prog_start=z, prog_mid=z, chunk_tab=z, csr=zf, cer=zf,
                        idx=zf, chunk_total=jnp.zeros((), jnp.int32))
 
 

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--no-chunk-pred", action="store_true",
                     help="compute trailing candidate chunks masked instead "
                          "of predicated (branch-vs-lanes experiment)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="block-kernel chunk-loop unroll factor (ILP A/B)")
     args = ap.parse_args()
     which = set(args.which.split(","))
 
@@ -256,6 +258,36 @@ def main():
 
     # ---- block-sweep probes (the gen-3 single-chip hot path) ----
     from sphexample_tpu.ops import pallas_block_sweep as pbs
+
+    if args.unroll > 1:
+        pbs.UNROLL = args.unroll
+
+    if "rebuildcost" in which:
+        # amortized cell-list cost: one full rebuild (argsort + 17 gathers)
+        # and one block-table build, timed standalone.  Divide by the lazy
+        # period (~20-80 steps) for the per-step share of `nostep`.
+        rb = jax.jit(lambda pp: cl.rebuild(pp, kern.H_inv, cfg.grid))
+
+        def rb_loop(pp0):
+            @jax.jit
+            def run(pp):
+                def body(i, pp_):
+                    p3, cs3, _ = rb(pp_)
+                    return pp_.replace(position=p3.position + 0.0)
+                return jax.lax.fori_loop(0, reps, body, pp)
+            return run
+        timeit("rebuild", rb_loop(p), p)
+
+        if cfg.ct_cap:
+            @jax.jit
+            def bt_loop(cs0):
+                def body(i, c):
+                    t = pbs.make_block_tables(cs0 + 0 * c, p2.cell, p2.active,
+                                              cfg.grid, p2.capacity, cfg.ct_cap)
+                    return (c + 1 + 0 * t.chunk_total + 0 * t.chunk_tab[-1]
+                            + 0 * t.prog_start[-1])
+                return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+            timeit("btables", bt_loop, cs)
 
     if cfg.ct_cap and ("bsweep" in which or "bstub" in which
                        or "blaunch" in which):
