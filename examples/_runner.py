@@ -30,6 +30,13 @@ def standard_argparser(default_save: str) -> argparse.ArgumentParser:
                          "always written).  Long runs over the tunneled link "
                          "are IO-bound; e.g. Velocity,Density,Pressure,Type,"
                          "ID roughly halves the per-snapshot bytes")
+    ap.add_argument("--watchdog", type=float, default=None, metavar="SECONDS",
+                    help="warn when a single device chunk blocks longer than "
+                         "this (stalled transport); combine with "
+                         "--watchdog-hard to exit 86 for a supervised "
+                         "restart from the last checkpoint")
+    ap.add_argument("--watchdog-hard", action="store_true",
+                    help="exit with code 86 when the watchdog fires")
     return ap
 
 
@@ -63,6 +70,14 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
 
         meta = dataclasses.replace(
             meta, output_variables=tuple(v.strip() for v in ov.split(","))
+        )
+    wd = getattr(args, "watchdog", None)
+    if wd:
+        import dataclasses
+
+        meta = dataclasses.replace(
+            meta, device_call_timeout=wd,
+            watchdog_hard=bool(getattr(args, "watchdog_hard", False)),
         )
 
     resume_path = getattr(args, "resume", None)

@@ -303,6 +303,13 @@ class SimulationMetaData:
     # interval's device compute (worker thread; measured 33% of headline
     # wall when synchronous over the tunneled link).
     async_output: bool = True
+    # Device-call watchdog (utils/watchdog.py): seconds a single device
+    # chunk may block before the run warns loudly - or, with watchdog_hard,
+    # exits with code 86 so a supervisor restarts it from the last
+    # checkpoint (--resume).  A stalled remote-device transport otherwise
+    # hangs a multi-hour run silently (observed; see PERFORMANCE.md).
+    device_call_timeout: Optional[float] = None
+    watchdog_hard: bool = False
 
     def output_time_for(self, counter: int) -> float:
         """next_output_time (reference src/SPHCellList.jl:687-698)."""

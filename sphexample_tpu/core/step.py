@@ -403,19 +403,42 @@ def make_interval_fn(cfg: StepConfig):
         )
         return final, dx_out
 
+    wd_timeout = getattr(cfg.meta, "device_call_timeout", None)
+
     def interval(state: SimulationState, t_out, progress=None) -> SimulationState:
         """``progress(state)`` fires after every device chunk - the host-side
         analog of the reference's in-interval ProgressMeter spinner
-        (SPHCellList.jl:870-907)."""
-        dx = jnp.asarray(1.0 + cfg.spec.kernel.h, dtype=state.total_time.dtype)
-        while True:
-            it_before = int(state.iteration)
-            state, dx = chunk(state, t_out, dx)
-            _check_interval_progress(state, t_out, it_before)
-            if float(state.total_time) > float(t_out):
-                return state
-            if progress is not None:
-                progress(state)
+        (SPHCellList.jl:870-907).  With ``meta.device_call_timeout`` set, a
+        watchdog turns a hung device call (stalled transport) into a loud
+        warning - or a clean exit-86 with ``meta.watchdog_hard`` so a
+        supervisor can restart from the last checkpoint (utils/watchdog.py)."""
+        wd = None
+        if wd_timeout:
+            from ..utils.watchdog import DeviceWatchdog
+
+            wd = DeviceWatchdog(
+                wd_timeout, hard=getattr(cfg.meta, "watchdog_hard", False),
+                context="device chunk",
+            )
+        try:
+            dx = jnp.asarray(1.0 + cfg.spec.kernel.h,
+                             dtype=state.total_time.dtype)
+            while True:
+                it_before = int(state.iteration)
+                if wd is not None:
+                    wd.arm(f"from iteration {it_before}")
+                state, dx = chunk(state, t_out, dx)
+                done = float(state.total_time) > float(t_out)
+                if wd is not None:
+                    wd.disarm()
+                _check_interval_progress(state, t_out, it_before)
+                if done:
+                    return state
+                if progress is not None:
+                    progress(state)
+        finally:
+            if wd is not None:
+                wd.stop()
 
     return interval
 

@@ -511,3 +511,43 @@ def test_checkpoint_across_retune(tmp_path):
     assert float(out.state.total_time) > t0
     act = np.asarray(out.state.particles.active)
     assert np.isfinite(np.asarray(out.state.particles.density)[act]).all()
+
+
+def test_device_watchdog_fires_and_disarms():
+    """utils/watchdog.py: an armed period past the timeout fires (soft mode
+    warns, keeps running); disarmed periods never fire."""
+    import time as _time
+
+    from sphexample_tpu.utils.watchdog import DeviceWatchdog
+
+    wd = DeviceWatchdog(timeout=0.15, hard=False, poll=0.05)
+    try:
+        # disarmed: never fires
+        _time.sleep(0.3)
+        assert not wd.fired
+        # armed + blocked past the timeout: fires
+        wd.arm("test block")
+        _time.sleep(0.4)
+        assert wd.fired
+        wd.disarm()
+    finally:
+        wd.stop()
+
+
+def test_interval_with_watchdog_runs_green(tmp_path):
+    """The watchdog wiring in make_interval_fn must not perturb a healthy
+    run (generous timeout: never fires)."""
+    import dataclasses
+
+    from sphexample_tpu.core.step import make_interval_fn
+
+    sim = _tiny_sim(str(tmp_path / "wd"))
+    sim.cfg = dataclasses.replace(
+        sim.cfg, meta=dataclasses.replace(sim.cfg.meta,
+                                          device_call_timeout=300.0)
+    )
+    interval = make_interval_fn(sim.cfg)
+    out = interval(sim.state, sim.meta.output_time_for(1))
+    assert float(out.total_time) > 0
+    act = np.asarray(out.particles.active)
+    assert np.isfinite(np.asarray(out.particles.density)[act]).all()
