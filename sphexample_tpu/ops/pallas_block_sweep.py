@@ -60,8 +60,11 @@ BLOCK = 128
 # pack).  Measured on the headline case: 32 -> 17.4, 64 -> 14.0,
 # 128 -> 12.6 ms/sweep (per-chunk fixed costs - decode, mask build, dense
 # broadcasts, accumulate - amortize over more rows); the packed chunk word
-# supports any CH <= 256 that is a multiple of 8.
-CH = 128
+# supports any CH <= 256 that is a multiple of 8.  Env-overridable for
+# hardware A/B sweeps (tools/; tables and kernel read it consistently).
+import os as _os
+
+CH = int(_os.environ.get("SPH_BLOCK_CH", "128"))
 # DMA ring: chunk g lands in buffer slot g % NBUF; the pipeline keeps DEPTH
 # chunks in flight (issued at compute step g - DEPTH), crossing program
 # boundaries so no per-program warm-up stall remains.

@@ -340,3 +340,34 @@ def test_block_retune_on_chunk_overflow(tmp_path):
     act = np.asarray(sim.state.particles.active)
     assert np.isfinite(np.asarray(sim.state.particles.density)[act]).all()
     assert float(sim.state.total_time) > 0.0
+
+
+def test_block_sweep_ch192_parity():
+    """CH is tunable (env SPH_BLOCK_CH; chunk word supports <= 256): pin the
+    non-power-of-two 192 configuration - its tree-reduce tail (24 = 3x8) and
+    8-bit validity fields - against the XLA sweep."""
+    import sphexample_tpu.ops.pallas_block_sweep as pbs_mod
+
+    old = pbs_mod.CH
+    pbs_mod.CH = 192
+    pbs_mod.pallas_block_sweep.clear_cache()
+    try:
+        const, kern, grid, p, cs = _setup(3)
+        t = pbs_mod.make_block_tables(cs, p.cell, p.active, grid,
+                                      p.capacity, 8192)
+        est = pbs_mod.estimate_chunk_total(
+            np.asarray(p.position[np.asarray(p.active)]), kern.H_inv, grid,
+            p.capacity)
+        assert est == int(t.chunk_total)
+        spec = PhysicsSpec(constants=const, kernel=kern,
+                           viscosity=ViscosityModel.ARTIFICIAL,
+                           diffusion=DensityDiffusionModel.LINEAR)
+        ref = pair_sweep(spec, grid, 512, 64, p, cs, p.position, p.density,
+                         p.pressure, p.velocity)
+        out = pbs_mod.pallas_block_sweep(spec, grid, 8192, p, cs, p.position,
+                                         p.density, p.pressure, p.velocity,
+                                         interpret=True)
+        _compare(out, ref)
+    finally:
+        pbs_mod.CH = old
+        pbs_mod.pallas_block_sweep.clear_cache()
