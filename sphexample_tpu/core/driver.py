@@ -142,15 +142,21 @@ def assemble_simulation(
     )
     ct_cap = 0
     if meta.use_pallas and meta.block_sweep:
-        # block-sweep chunk budget from the measured initial cover with 2x
-        # headroom (compression during impact grows neighbor counts and
-        # therefore chunks; the max_chunks telemetry retunes on overflow)
-        from ..ops.pallas_block_sweep import estimate_chunk_total
+        from ..ops.pallas_block_sweep import (BLOCK_CAP_LIMIT,
+                                             estimate_chunk_total)
 
-        est = estimate_chunk_total(
-            position, kernel.H_inv, grid, int(particles.capacity)
-        )
-        ct_cap = -(-(int(est * 2.0) + 1024) // 1024) * 1024
+        if int(particles.capacity) <= BLOCK_CAP_LIMIT:
+            # block-sweep chunk budget from the measured initial cover with
+            # 2x headroom (compression during impact grows neighbor counts
+            # and therefore chunks; max_chunks telemetry retunes on overflow)
+            est = estimate_chunk_total(
+                position, kernel.H_inv, grid, int(particles.capacity)
+            )
+            ct_cap = -(-(int(est * 2.0) + 1024) // 1024) * 1024
+            if ct_cap >= 2 ** 24:
+                ct_cap = 0  # degenerate cover: use the cell-pair kernel
+        # beyond the block kernel's 16-bit row-offset budget, fall back to
+        # the cell-pair kernel (which supports the full capacity range)
 
     cfg = StepConfig(
         spec=spec,
@@ -339,6 +345,12 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
             # budget 2x the observed need, like the initial sizing
             need = int(failed_state.max_chunks)
             ct_cap = max(-(-(need * 2 + 1024) // 1024) * 1024, ct_cap)
+            from ..ops.pallas_block_sweep import BLOCK_CAP_LIMIT
+
+            if new_cap > BLOCK_CAP_LIMIT or ct_cap >= 2 ** 24:
+                # grown past the block kernel's encoding budget: fall back
+                # to the cell-pair kernel for the rest of the run
+                ct_cap = 0
         prev_state = pad_capacity(prev_state, new_cap)
         new_cfg = _dc.replace(cfg, mpc=mpc, cseg=cseg,
                               maxc=max(maxc, cfg.maxc), ct_cap=ct_cap)
@@ -423,13 +435,14 @@ class _AsyncSaver:
     files); the queue is bounded so at most ``maxsize`` state pytrees are
     kept alive.  Exceptions re-raise on the next enqueue or on close()."""
 
-    def __init__(self, save_callback, maxsize: int = 2):
+    def __init__(self, save_callback, maxsize: int = 2, watchdog=None):
         import queue
         import threading
 
         self._cb = save_callback
         self._q = queue.Queue(maxsize=maxsize)
         self._err = None
+        self._wd = watchdog  # covers snapshot device->host fetches too
         self._t = threading.Thread(target=self._run, daemon=True)
         self._t.start()
 
@@ -439,7 +452,11 @@ class _AsyncSaver:
             try:
                 if item is None:
                     return
+                if self._wd is not None:
+                    self._wd.arm(f"snapshot {item[0]}")
                 self._cb(*item)
+                if self._wd is not None:
+                    self._wd.disarm()
             except BaseException as e:  # noqa: BLE001 - surfaced on main thread
                 self._err = e
                 return
@@ -447,9 +464,21 @@ class _AsyncSaver:
                 self._q.task_done()
 
     def __call__(self, counter, state):
-        if self._err is not None:
-            raise RuntimeError("async save failed") from self._err
-        self._q.put((counter, state))
+        # bounded-timeout puts: if the worker died (or is itself stuck in a
+        # stalled transfer), the main thread must not block forever on a
+        # full queue - surface the error instead
+        import queue
+
+        while True:
+            if self._err is not None:
+                raise RuntimeError("async save failed") from self._err
+            if not self._t.is_alive():
+                raise RuntimeError("async saver thread died")
+            try:
+                self._q.put((counter, state), timeout=30.0)
+                return
+            except queue.Full:
+                continue
 
     def close(self):
         # after a worker exception the thread has exited without draining:
@@ -488,8 +517,17 @@ def run_simulation(
     state = sim.state
     counter = start_counter
     saver = save_callback
+    save_wd = None
     if save_callback is not None and getattr(meta, "async_output", True):
-        saver = _AsyncSaver(save_callback)
+        if getattr(meta, "device_call_timeout", None):
+            from ..utils.watchdog import DeviceWatchdog
+
+            save_wd = DeviceWatchdog(
+                meta.device_call_timeout,
+                hard=getattr(meta, "watchdog_hard", False),
+                context="snapshot save",
+            )
+        saver = _AsyncSaver(save_callback, watchdog=save_wd)
     if saver is not None and counter == 1:
         # initial-state snapshot; on resume (start_counter > 1) the snapshot
         # for this counter already exists in the reopened output files
@@ -558,6 +596,8 @@ def run_simulation(
         if isinstance(saver, _AsyncSaver):
             with hourglass.section("13 Save Particle Data"):
                 saver.close()
+        if save_wd is not None:
+            save_wd.stop()
 
     sim.state = state
     return sim

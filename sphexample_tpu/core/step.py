@@ -404,6 +404,12 @@ def make_interval_fn(cfg: StepConfig):
         return final, dx_out
 
     wd_timeout = getattr(cfg.meta, "device_call_timeout", None)
+    # the FIRST chunk call of this interval_fn traces + compiles (minutes on
+    # the tunneled chip for big kernels) - the watchdog must not count that
+    # as a stalled transport, so arming starts after one completed chunk.
+    # A retune rebuilds interval_fn, resetting the warm flag for its own
+    # recompile.
+    warm = [False]
 
     def interval(state: SimulationState, t_out, progress=None) -> SimulationState:
         """``progress(state)`` fires after every device chunk - the host-side
@@ -425,12 +431,13 @@ def make_interval_fn(cfg: StepConfig):
                              dtype=state.total_time.dtype)
             while True:
                 it_before = int(state.iteration)
-                if wd is not None:
+                if wd is not None and warm[0]:
                     wd.arm(f"from iteration {it_before}")
                 state, dx = chunk(state, t_out, dx)
                 done = float(state.total_time) > float(t_out)
                 if wd is not None:
                     wd.disarm()
+                warm[0] = True
                 _check_interval_progress(state, t_out, it_before)
                 if done:
                     return state

@@ -32,6 +32,15 @@ from ..config import DensityDiffusionModel, SimulationConstants, SPHKernelInstan
 from .equations import inverse_hydrostatic_eos
 
 
+def linear_hydrostatic_constant(c) -> float:
+    """C_lin with rho_h = C_lin * (z_i - z_j) for the LINEAR model: the
+    linearized inverse EOS applied to P^H = rho0 (-g)(-x_ij[end])
+    (reference SPHDensityDiffusionModels.jl:116-122).  Shared by the XLA
+    path here and the Pallas pack/pair-math re-expressions so the folded
+    constant can never drift between them."""
+    return c.rho0 * (-c.g) * (-1.0) * ((1.0 / (c.Cb * c.gamma)) * c.rho0)
+
+
 def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 

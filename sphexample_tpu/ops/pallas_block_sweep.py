@@ -78,6 +78,10 @@ NS = 10
 # tools/sweep_bench.py).  The dynamic fori_loop body is compiled once per
 # unroll copy, so compile time stays flat.
 UNROLL = 1
+# Single-chip capacity ceiling of this kernel: off8/8 must fit the packed
+# chunk word's 16-bit field.  The driver falls back to the cell-pair kernel
+# beyond it (assemble_simulation / _retune).
+BLOCK_CAP_LIMIT = 2 ** 19
 # Lane groups per block: selves are split at the first (y,z)-row boundary
 # and each group gets its own tight cover (a block straddling a row boundary
 # otherwise unions the x-extents of both rows - measured 23% of blocks
@@ -130,6 +134,11 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     the overflow telemetry and triggers a decisive retune + replay, exactly
     like the occupancy windows).
     """
+    if ct_cap >= 2 ** 24:
+        # prog_start packs chunk starts in its low 24 bits under the lane
+        # cut byte: a bigger table would silently corrupt the decode
+        raise ValueError(f"ct_cap {ct_cap} exceeds the 24-bit chunk-index "
+                         "budget of the packed prog_start")
     ncells = grid.ncells
     nx = grid.shape[0]
     ny = grid.shape[1] if grid.dims == 3 else 1
@@ -353,13 +362,13 @@ def pack_block_fields(position, velocity, density, pressure, ml, tables,
       numerator (rho_ji - rho_h) to one subtract (C_lin = 0 for the other
       diffusion models, where rr degenerates to rho)."""
     from ..config import DensityDiffusionModel
+    from ..models.density_diffusion import linear_hydrostatic_constant
 
     rho_g = jnp.where(density > 0.0, density, jnp.ones_like(density))
     rcp = 1.0 / rho_g
     C_lin = 0.0
     if spec is not None and spec.diffusion is DensityDiffusionModel.LINEAR:
-        c = spec.constants
-        C_lin = c.rho0 * (-c.g) * (-1.0) * ((1.0 / (c.Cb * c.gamma)) * c.rho0)
+        C_lin = linear_hydrostatic_constant(spec.constants)
     rr = rho_g + C_lin * position[:, -1]
     cols = [position, velocity, rho_g[:, None], (pressure * rcp)[:, None],
             ml[:, None], rcp[:, None], tables.idx[:, None],
@@ -512,7 +521,23 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
                 acc_ref[k] += t
             return c
 
-        jax.lax.fori_loop(g0, g1, body, 0, unroll=UNROLL if UNROLL > 1 else None)
+        if UNROLL > 1:
+            # fori_loop(unroll=...) requires static bounds; with the
+            # SMEM-read g0/g1 the unroll must be manual: full groups of
+            # UNROLL chunks, then a rolled remainder loop
+            n = g1 - g0
+
+            def body_u(k, c):
+                base = g0 + k * jnp.int32(UNROLL)
+                for u in range(UNROLL):
+                    body(base + u, c)
+                return c
+
+            nfull = n // UNROLL
+            jax.lax.fori_loop(jnp.int32(0), nfull, body_u, 0)
+            jax.lax.fori_loop(g0 + nfull * UNROLL, g1, body, 0)
+        else:
+            jax.lax.fori_loop(g0, g1, body, 0)
 
         rows = [jnp.sum(acc_ref[k], axis=0, keepdims=True)
                 for k in range(n_keys)]
@@ -550,11 +575,12 @@ def pallas_block_sweep(
     cap = position.shape[0]
     if cap % BLOCK != 0:
         raise ValueError(f"capacity {cap} must be a multiple of {BLOCK}")
-    if cap < CH + 8 or cap > 2 ** 19:
+    if cap < CH + 8 or cap > BLOCK_CAP_LIMIT:
         # off8/8 must fit the packed code's 16-bit field; beyond half a
-        # million rows, shard over a mesh instead (parallel.shard_simulation)
+        # million rows the driver uses the cell-pair kernel (or shard over
+        # a mesh: parallel.shard_simulation)
         raise ValueError(f"capacity {cap} out of the supported range "
-                         f"[{CH + 8}, {2 ** 19}]")
+                         f"[{CH + 8}, {BLOCK_CAP_LIMIT}]")
     maxb = n_blocks(cap)
 
     if tables is None:

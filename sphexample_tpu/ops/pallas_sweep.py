@@ -432,9 +432,10 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within,
         if diff is DensityDiffusionModel.ZERO_GRAVITY_LINEAR:
             diff_n = (rr[1] - rr[0]) if rr is not None else (rho_j - rho_i)
         elif diff is DensityDiffusionModel.LINEAR:
-            # rho_h = [rho0 (-g)(-x_z)] * rho0/(Cb gamma), folded; packed
+            # rho_h = C_lin * (z_i - z_j) (shared constant); packed
             # rr = rho + C_lin z collapses rho_ji - rho_h to one subtract
-            C_lin = c.rho0 * (-c.g) * (-1.0) * ((1.0 / (c.Cb * c.gamma)) * c.rho0)
+            from ..models.density_diffusion import linear_hydrostatic_constant
+            C_lin = linear_hydrostatic_constant(c)
             if rr is not None:
                 diff_n = rr[1] - rr[0]
             else:

@@ -323,8 +323,8 @@ def main():
             def launch_mk(spec, dims, maxb):
                 kernel, n_keys, k_pad = real_mk(spec, dims, maxb)
 
-                def lk(prog_start_ref, chunk_tab_ref, self_blk, packedT_hbm,
-                       out_blk, cand_buf, acc_ref, sem):
+                def lk(prog_start_ref, prog_mid_ref, chunk_tab_ref, self_blk,
+                       packedT_hbm, out_blk, cand_buf, acc_ref, sem):
                     out_blk[...] = jnp.zeros_like(out_blk)
 
                 return lk, n_keys, k_pad
