@@ -551,3 +551,29 @@ def test_interval_with_watchdog_runs_green(tmp_path):
     assert float(out.total_time) > 0
     act = np.asarray(out.particles.active)
     assert np.isfinite(np.asarray(out.particles.density)[act]).all()
+
+
+def test_block_cap_limit_falls_back_to_cell_pair(tmp_path, monkeypatch):
+    """Capacities beyond the block kernel's row-offset budget must select
+    the cell-pair kernel (ct_cap == 0), not raise at the first sweep."""
+    import sphexample_tpu.ops.pallas_block_sweep as pbs
+
+    monkeypatch.setattr(pbs, "BLOCK_CAP_LIMIT", 128)  # force the fallback
+    sim = _tiny_sim(str(tmp_path / "fb"))
+    # _tiny_sim builds without pallas; rebuild with the pallas block path
+    import dataclasses
+
+    meta = dataclasses.replace(sim.meta, use_pallas=True, block_sweep=True)
+    from sphexample_tpu import assemble_simulation
+
+    p = sim.state.particles
+    act = np.asarray(p.active)
+    sim2 = assemble_simulation(
+        np.asarray(p.position)[act], np.asarray(p.density)[act],
+        np.asarray(p.ptype)[act], np.asarray(p.group_marker)[act],
+        np.asarray(p.id)[act], meta, sim.cfg.spec.constants,
+        sim.cfg.spec.kernel, sim.cfg.spec.viscosity, sim.cfg.spec.diffusion,
+    )
+    assert sim2.state.particles.capacity > 128  # the limit really binds
+    assert sim2.cfg.ct_cap == 0  # block path disabled -> cell-pair kernel
+    assert sim2.state.pallas_tables.prog_slot.shape[0] > 0
