@@ -9,7 +9,8 @@
 #        --watchdog 300 --watchdog-hard
 #
 # The wrapped command must write checkpoints into CKPT_DIR (the example CLIs
-# name them checkpoint_NNN.npz under --save) and accept --resume.
+# write checkpoint.npz under --save with --checkpoint-every) and accept
+# --resume.
 set -u
 CKPT_DIR="$1"; shift
 [ "$1" = "--" ] && shift
@@ -17,7 +18,7 @@ CKPT_DIR="$1"; shift
 MAX_RESTARTS=${MAX_RESTARTS:-20}
 restarts=0
 while true; do
-    latest=$(ls -1t "$CKPT_DIR"/checkpoint_*.npz 2>/dev/null | head -1)
+    latest=$(ls -1t "$CKPT_DIR"/checkpoint*.npz 2>/dev/null | head -1)
     if [ -n "$latest" ]; then
         echo "[supervised_run] starting (resume from $latest)" >&2
         "$@" --resume "$latest"
