@@ -342,14 +342,17 @@ def test_block_retune_on_chunk_overflow(tmp_path):
     assert float(sim.state.total_time) > 0.0
 
 
-def test_block_sweep_ch192_parity():
+@pytest.mark.parametrize("ch", [192, 256])
+def test_block_sweep_ch_override_parity(ch):
     """CH is tunable (env SPH_BLOCK_CH; chunk word supports <= 256): pin the
     non-power-of-two 192 configuration - its tree-reduce tail (24 = 3x8) and
-    8-bit validity fields - against the XLA sweep."""
+    8-bit validity fields - and the 256 ceiling (the chunk word stores vstart
+    and vend-1 in 8 bits each, so CH=256 saturates both) against the XLA
+    sweep."""
     import sphexample_tpu.ops.pallas_block_sweep as pbs_mod
 
     old = pbs_mod.CH
-    pbs_mod.CH = 192
+    pbs_mod.CH = ch
     pbs_mod.pallas_block_sweep.clear_cache()
     try:
         const, kern, grid, p, cs = _setup(3)
