@@ -14,6 +14,8 @@ so the scale evidence lives in the artifact, not in prose.
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -21,6 +23,36 @@ import numpy as np
 
 REFERENCE_CPU_PSTEPS = 3.1e4  # "1+ day" baseline, see BASELINE.md
 TARGET_PSTEPS = 1e8           # driver north-star (BASELINE.md)
+
+
+def wait_for_device(deadline_s: float) -> bool:
+    """Bounded wait for a live TPU transport before benching.
+
+    The tunneled device transport can stall for hours (PERFORMANCE.md): a
+    hung first device op would block this process forever with no exception,
+    so the probe runs in a SUBPROCESS with a timeout and retries until
+    ``deadline_s``.  Returns True when a probe succeeds."""
+    probe = ("import jax; x = jax.numpy.ones((8, 128)); "
+             "print(float((x @ x.T).sum()))")
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=120,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.monotonic() - t0
+        if waited >= deadline_s:
+            print(f"# bench: TPU transport still dead after {waited:.0f}s "
+                  f"({attempt} probes) - giving up", file=sys.stderr)
+            return False
+        print(f"# bench: TPU probe {attempt} failed ({waited:.0f}s elapsed); "
+              f"retrying", file=sys.stderr, flush=True)
+        time.sleep(min(120.0, max(5.0, deadline_s - waited)))
 
 
 def parity_gate(args):
@@ -174,20 +206,54 @@ def main():
                     help="skip the compiled-vs-XLA parity gate")
     args = ap.parse_args()
 
+    wd = None
+    if not args.cpu:
+        # A stalled transport must neither hang the driver's bench run nor
+        # wedge it mid-phase.  Ordering matters: the in-process backend init
+        # (the first jax.default_backend() below) itself blocks forever on a
+        # dead tunnel, so the bounded liveness wait runs FIRST in a
+        # subprocess, and the init itself is covered by the hard watchdog
+        # (exit 86, the supervisor convention).
+        from sphexample_tpu.utils.watchdog import DeviceWatchdog
+
+        if not wait_for_device(float(os.environ.get("SPH_BENCH_WAIT", 1800))):
+            sys.exit(86)
+        wd = DeviceWatchdog(
+            timeout=float(os.environ.get("SPH_BENCH_WATCHDOG", 1800)),
+            hard=True, context="bench device phase",
+        )
+
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     import jax  # noqa: F811
 
+    if wd is not None:
+        wd.arm("backend init")
+        backend = jax.default_backend()
+        wd.disarm()
+        if backend != "tpu":
+            wd.stop()
+            wd = None
+
+    def _armed(label, fn, *a):
+        if wd is not None:
+            wd.arm(label)
+        try:
+            return fn(*a)
+        finally:
+            if wd is not None:
+                wd.disarm()
+
     parity = None
     if not args.no_parity and jax.default_backend() == "tpu":
         try:
-            parity = parity_gate(args)
+            parity = _armed("parity_gate", parity_gate, args)
         except Exception as e:  # noqa: BLE001 - still record the failure
             parity = {"ok": False, "error": repr(e)[:200]}
 
-    dx, n, psteps = run_case(args, args.case, args.dx)
+    dx, n, psteps = _armed("headline", run_case, args, args.case, args.dx)
     record = {
         "metric": f"particle_steps_per_sec_{args.case}_dp{dx}_n{n}",
         "value": round(psteps, 1),
@@ -205,7 +271,9 @@ def main():
         and jax.default_backend() == "tpu"
     ):
         try:
-            sdx, sn, spsteps = run_case(args, args.case, args.scale_dx)
+            sdx, sn, spsteps = _armed(
+                "scale_check", run_case, args, args.case, args.scale_dx
+            )
             record["scale_check"] = {
                 "dx": sdx,
                 "n": sn,
