@@ -194,6 +194,68 @@ def test_sharded_pallas_halo_matches_single_chip(mdbc):
         np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12, err_msg=field)
 
 
+def test_rebuild_sharded_with_real_migration():
+    """The distributed rebuild's 1-hop row migration, exercised with rows
+    that actually cross slab boundaries (the trajectory tests settle too
+    gently to migrate anything: the first rebuild happens right after the
+    pre-sort, with zero migration).  Displacing every fluid particle by 0.6
+    cell pitches in z moves its key one (y,z)-row up, shifting sorted ranks
+    past the interleaved wall rows - boundary-adjacent rows must migrate and
+    the merged slabs must reproduce the single-chip stable rebuild exactly."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from sphexample_tpu.ops import cell_list as cl
+    from sphexample_tpu.parallel.mesh import AXIS, _particle_specs
+
+    mesh = make_mesh(4)
+    sim_shard = shard_simulation(_tall_column_setup(use_pallas=True), mesh)
+    assert sim_shard.cfg.halo > 0
+    cfg = sim_shard.cfg
+    kern = cfg.spec.kernel
+    pitch = 1.0 / kern.H_inv
+
+    def displace(p):
+        dz = jnp.where(p.ptype == 1, 0.6 * pitch, 0.0)
+        return p.replace(position=p.position.at[:, -1].add(dz * p.active))
+
+    p_shard = displace(sim_shard.state.particles)
+
+    fn = jax.jit(shard_map(
+        lambda p: cl.rebuild_sharded(p, kern.H_inv, cfg.grid, cfg.ctx,
+                                     cfg.halo),
+        mesh=mesh,
+        in_specs=(_particle_specs(AXIS),),
+        out_specs=(_particle_specs(AXIS), P(), P(), P()),
+        check_vma=False,
+    ))
+    merged, cs_sh, occ_sh, mig = fn(p_shard)
+
+    assert int(mig) > 0, (
+        "displacement produced no migration - the test no longer exercises "
+        "the 1-hop exchange"
+    )
+    assert int(mig) <= cfg.halo
+
+    # single-chip reference on the identical global state (the sharded slabs
+    # concatenate to the global order, so the stable argsort permutations
+    # must agree row for row)
+    ref_sorted, cs_ref, occ_ref = jax.jit(
+        lambda p: cl.rebuild(p, kern.H_inv, cfg.grid)
+    )(jax.device_get(p_shard))
+
+    np.testing.assert_array_equal(np.asarray(cs_sh), np.asarray(cs_ref))
+    assert int(occ_sh) == int(occ_ref)
+    for field in ("id", "ptype", "active"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(merged, field)),
+            np.asarray(getattr(ref_sorted, field)), err_msg=field)
+    for field in ("position", "velocity", "density", "cell"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(merged, field)),
+            np.asarray(getattr(ref_sorted, field)), err_msg=field)
+
+
 def test_sharded_retune_recovers():
     """Window overflow under a mesh must re-shard with grown windows and
     replay the interval (it used to raise RuntimeError: VERDICT round-2
