@@ -415,6 +415,10 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
         g1 = jax.lax.rem(prog_start_ref[b + 1], M24)
         mid = prog_mid_ref[b]
 
+        def _slot(g):
+            # NBUF is a power of two: a mask beats the scalar-unit rem
+            return jnp.bitwise_and(g, jnp.int32(NBUF - 1))
+
         def copy_for(g, slot):
             # chunk code: vstart (8b) | vend-1 << 8 (8b) | off8/8 << 16
             # (16b; the sign bit is data - decode with logical shifts)
@@ -426,6 +430,14 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
                 sem.at[slot],
             )
 
+        def wait_for(slot):
+            # waiting only needs the semaphore and the (static) copy size -
+            # a descriptor with a fixed source offset avoids re-reading the
+            # chunk word and redoing the address math on the wait path
+            pltpu.make_async_copy(
+                packedT_hbm.at[pl.ds(0, CH)], cand_buf.at[slot], sem.at[slot]
+            ).wait()
+
         # pipeline warm-up: only the first program primes the ring; later
         # programs inherit in-flight chunks issued by their predecessors
         @pl.when(b == 0)
@@ -433,7 +445,7 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
             def wu(i, c):
                 @pl.when(i < total)
                 def _():
-                    copy_for(i, jax.lax.rem(i, jnp.int32(NBUF))).start()
+                    copy_for(i, _slot(i)).start()
                 return c
             jax.lax.fori_loop(jnp.int32(0), jnp.int32(DEPTH), wu, 0,
                               unroll=True)
@@ -463,14 +475,14 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
         laneB = lane >= cut
 
         def body(g, c):
-            slot = jax.lax.rem(g, jnp.int32(NBUF))
+            slot = _slot(g)
             # keep DEPTH chunks in flight (slot g+DEPTH mod NBUF was last
             # used by chunk g+DEPTH-NBUF < g: fully consumed)
             ga = g + DEPTH
             @pl.when(ga < total)
             def _():
-                copy_for(ga, jax.lax.rem(ga, jnp.int32(NBUF))).start()
-            copy_for(g, slot).wait()
+                copy_for(ga, _slot(ga)).start()
+            wait_for(slot)
 
             # decode vstart (8b) | vend-1 (8b) | off8/8 (16b, high)
             v = chunk_tab_ref[g]
