@@ -468,13 +468,27 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
 
         sub = jax.lax.broadcasted_iota(jnp.int32, (CH, BLOCK), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (CH, BLOCK), 1)
-        # the two lane-group masks are pure functions of the program's cut:
-        # hoist them so the chunk loop pays ONE select instead of two
-        # compares and an and
-        laneA = lane < cut
-        laneB = lane >= cut
+        # Lane-group masking by SENTINEL, not by per-chunk mask ops: the
+        # chunk loop is split at prog_mid into a group-A and a group-B loop,
+        # and each loop's self x-field carries the OTHER group's lanes
+        # shifted far outside kernel support (q >> 2 -> the gradient factor
+        # g is EXACTLY zero by its built-in clamp, and the one
+        # non-g-proportional output, W, is masked by its explicit d2 <= H2
+        # cutoff - the same mechanism that already zeroes in-window junk
+        # rows >= one cell pitch away).  This deletes the per-chunk lane
+        # select AND the and-with-lane-mask (2 full-tile ops), plus the
+        # scalar g >= mid compare and its scalar->vector bridge.  The
+        # offset keeps every intermediate finite in f32: q ~ 500 puts the
+        # Wendland t^4 term at ~1e11, nowhere near overflow.
+        off = 256.0 * spec.kernel.h
+        offA = jnp.where(lane < cut, 0.0, off).astype(jnp.float32)
+        offB = jnp.where(lane >= cut, 0.0, off).astype(jnp.float32)
+        selfA = list(self_f)
+        selfA[0] = self_f[0] + offA
+        selfB = list(self_f)
+        selfB[0] = self_f[0] + offB
 
-        def body(g, c):
+        def body(g, c, self_g):
             slot = _slot(g)
             # keep DEPTH chunks in flight (slot g+DEPTH mod NBUF was last
             # used by chunk g+DEPTH-NBUF < g: fully consumed)
@@ -502,10 +516,10 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
             rcp_j = dense_cand(RCP)
             idx_j = dense_cand(IDX)
             rr_j = dense_cand(RR)
-            # lane-group of chunk g: group-B chunks follow group-A's within
-            # the block (prog_mid), so no per-chunk group bit is needed
-            lane_ok = jnp.where(g >= mid, laneB, laneA)
-            within = (sub >= vs) & (sub < ve) & lane_ok  # dense [CH, 128]
+            # no lane-group mask: the loop split at prog_mid + the sentinel
+            # x-shift on the other group's lanes already zero every
+            # out-of-group contribution (see the selfA/selfB comment)
+            within = (sub >= vs) & (sub < ve)            # dense [CH, 128]
             if want_kernel:
                 # self-pair exclusion: only the kernel sum W survives at
                 # d2 == 0, so the index test is only needed in STORE mode
@@ -516,7 +530,7 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
             # later cell == higher sorted index)
             same_cell = (idx_j >= cs_i) & (idx_j < ce_i)
             i_is_role_i = ~(same_cell ^ (idx_i < idx_j))
-            terms = _pair_math(spec, dims, self_f, cand_f, i_is_role_i,
+            terms = _pair_math(spec, dims, self_g, cand_f, i_is_role_i,
                                within, rcps=(rcp_i, rcp_j), p_is_pq=True,
                                rr=(rr_i, rr_j))
             for k, key in enumerate(keys):
@@ -533,23 +547,34 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
                 acc_ref[k] += t
             return c
 
+        # group-A chunks are [g0, mid), group-B chunks [mid, g1) - two loops
+        # with per-group sentinel selves replace the per-chunk lane select
+        def bodyA(g, c):
+            return body(g, c, selfA)
+
+        def bodyB(g, c):
+            return body(g, c, selfB)
+
         if UNROLL > 1:
             # fori_loop(unroll=...) requires static bounds; with the
-            # SMEM-read g0/g1 the unroll must be manual: full groups of
+            # SMEM-read bounds the unroll must be manual: full groups of
             # UNROLL chunks, then a rolled remainder loop
-            n = g1 - g0
+            def unrolled(lo, hi, fn):
+                def fn_u(k, c):
+                    base = lo + k * jnp.int32(UNROLL)
+                    for u in range(UNROLL):
+                        fn(base + u, c)
+                    return c
 
-            def body_u(k, c):
-                base = g0 + k * jnp.int32(UNROLL)
-                for u in range(UNROLL):
-                    body(base + u, c)
-                return c
+                nfull = (hi - lo) // UNROLL
+                jax.lax.fori_loop(jnp.int32(0), nfull, fn_u, 0)
+                jax.lax.fori_loop(lo + nfull * UNROLL, hi, fn, 0)
 
-            nfull = n // UNROLL
-            jax.lax.fori_loop(jnp.int32(0), nfull, body_u, 0)
-            jax.lax.fori_loop(g0 + nfull * UNROLL, g1, body, 0)
+            unrolled(g0, mid, bodyA)
+            unrolled(mid, g1, bodyB)
         else:
-            jax.lax.fori_loop(g0, g1, body, 0)
+            jax.lax.fori_loop(g0, mid, bodyA, 0)
+            jax.lax.fori_loop(mid, g1, bodyB, 0)
 
         rows = [jnp.sum(acc_ref[k], axis=0, keepdims=True)
                 for k in range(n_keys)]
