@@ -305,6 +305,11 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
         )
         maxc = max(min(cfg.grid.ncells, ncc * 2 + 256), cfg.maxc)
         min_halo = -(-max(halo_need * 2, cfg.halo) // 128) * 128 + 128
+        # chunk-table overflow (sharded block sweep): floor the re-shard's
+        # per-device ct_cap at 2x the observed need, like the single-chip path
+        min_ct_cap = 0
+        if cfg.ct_cap:
+            min_ct_cap = max(int(failed_state.max_chunks) * 2, cfg.ct_cap)
 
         host_state = jax.device_get(prev_state)
         single_cfg = _dc.replace(
@@ -321,7 +326,8 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
             f"{ndev} devices and replaying the interval",
             file=sys.stderr,
         )
-        new_sim = shard_simulation(base, make_mesh(ndev), min_halo=min_halo)
+        new_sim = shard_simulation(base, make_mesh(ndev), min_halo=min_halo,
+                                   min_ct_cap=min_ct_cap)
         return new_sim, new_sim.state
 
     if cfg.use_pallas:

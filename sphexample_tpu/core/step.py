@@ -63,8 +63,10 @@ class StepConfig:
     # sharded Pallas: halo rows exchanged with each slab neighbor per sweep
     # (multiple of 128; 0 = fall back to the all-gather XLA sweep)
     halo: int = 0
-    # flat chunk-table capacity of the block-structured sweep (single-chip
-    # hot path; 0 = use the cell-pair program kernel instead)
+    # flat chunk-table capacity of the block-structured sweep (0 = use the
+    # cell-pair program kernel instead).  Single-chip: sized for the whole
+    # capacity.  Sharded with halo > 0: PER-DEVICE capacity - the sweeps run
+    # the block kernel on halo-extended windows (pallas_block_sweep_sharded).
     ct_cap: int = 0
 
 
@@ -86,6 +88,14 @@ def _sweep(cfg: StepConfig, p, cell_start, position, density, pressure, velocity
             cfg.spec, cfg.grid, cfg.mpc, cfg.cseg, cfg.maxc,
             p, cell_start, position, density, pressure, velocity,
             tables=tables, interpret=cfg.pallas_interpret,
+        )
+    if cfg.use_pallas and cfg.ctx.is_sharded and cfg.halo > 0 and cfg.ct_cap > 0:
+        from ..ops.pallas_block_sweep import pallas_block_sweep_sharded
+
+        return pallas_block_sweep_sharded(
+            cfg.spec, cfg.grid, cfg.ct_cap, cfg.halo,
+            p, cell_start, position, density, pressure, velocity, cfg.ctx,
+            tables=btables, interpret=cfg.pallas_interpret,
         )
     if cfg.use_pallas and cfg.ctx.is_sharded and cfg.halo > 0:
         from ..ops.pallas_sweep import pallas_pair_sweep_sharded
@@ -172,14 +182,30 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
                 sorted_p.cell, sorted_p.active, cfg.mpc, pair=True,
             )
         elif pallas_halo:
-            from ..ops.pallas_sweep import (make_local_program_tables,
-                                            sweep_rows)
+            if cfg.ct_cap > 0:
+                # sharded block sweep: per-device tables in halo-extended
+                # coordinates, global sorted indices for the role quirk;
+                # chunk_total rides the replicated telemetry (pmax)
+                from ..ops.pallas_block_sweep import make_block_tables
 
-            tables = make_local_program_tables(
-                cell_start, cfg.grid, cfg.maxc, sweep_rows(cfg.mpc), base, cap,
-                cap + 2 * cfg.halo, sorted_p.cell, sorted_p.active, cfg.mpc,
-                pair=True,
-            )
+                tables = state.pallas_tables
+                btables = make_block_tables(
+                    cell_start, sorted_p.cell, sorted_p.active, cfg.grid,
+                    cap, cfg.ct_cap, ext_off=base - cfg.halo,
+                    ext_capacity=cap + 2 * cfg.halo, idx0=base,
+                )
+                btables = btables.replace(
+                    chunk_total=ctx.pmax(btables.chunk_total)
+                )
+            else:
+                from ..ops.pallas_sweep import (make_local_program_tables,
+                                                sweep_rows)
+
+                tables = make_local_program_tables(
+                    cell_start, cfg.grid, cfg.maxc, sweep_rows(cfg.mpc), base,
+                    cap, cap + 2 * cfg.halo, sorted_p.cell, sorted_p.active,
+                    cfg.mpc, pair=True,
+                )
             # halo telemetry: furthest sorted-row reach of any live local
             # stencil window past the slab boundaries (empty segments have
             # start == end == 0 and must not count)
@@ -260,7 +286,12 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
                     global_position=ctx.gather(p.position),
                     global_density=ctx.gather(p.density),
                     global_ptype=ctx.gather(p.ptype),
-                    use_pallas=pallas_single,
+                    # the fused moment kernel serves BOTH single-chip sweep
+                    # paths (it only needs the mpc/cseg windows, which every
+                    # pallas config sizes) - tying it to the cell-pair path
+                    # alone silently re-inherited the 300x-slower gather
+                    # loop whenever the block sweep was selected
+                    use_pallas=pallas_single or pallas_block,
                     mpc=cfg.mpc,
                     pallas_interpret=cfg.pallas_interpret,
                 )

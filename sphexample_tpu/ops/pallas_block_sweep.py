@@ -105,9 +105,25 @@ def _num_runs(dims: int) -> int:
 
 
 def make_block_tables(cell_start, cells, active, grid: Grid,
-                      capacity: int, ct_cap: int) -> BlockTables:
+                      capacity: int, ct_cap: int, *,
+                      ext_off=None, ext_capacity: "int | None" = None,
+                      idx0=None) -> BlockTables:
     """Flat chunk table for the block sweep - a pure function of the cell
     list, computed once per lazy rebuild.
+
+    Sharded (per-device under ``shard_map``): ``capacity`` is the LOCAL slab
+    row count (selves), ``cell_start`` stays GLOBAL, and the three extra
+    kwargs rebase the candidate runs into the device's halo-extended window:
+    ``ext_off`` (traced) is the global sorted row at extended index 0
+    (= rank*C - halo), ``ext_capacity`` the extended row count C + 2*halo
+    (the caller pads the row-major pack with CH extra zero rows so DMA
+    windows never clamp - chunk boundaries then shift RIGIDLY vs the
+    single-chip tables, since slab bases and halos are multiples of 128),
+    and ``idx0`` (traced) offsets the packed sorted index to GLOBAL rows so
+    the density-diffusion role quirk and the self-pair exclusion compare
+    global positions.  Runs clipped at the window edges only ever drop rows
+    beyond the per-particle stencil reach (telemetry-guarded ``max_halo``),
+    which the kernel cutoff zeroes anyway.
 
     For every 128-row block of the sorted array, the selves are split into
     NG=2 lane groups at the first (y,z)-row boundary (group A = the lanes in
@@ -145,14 +161,20 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     nrows = ncells // nx
     maxb = n_blocks(capacity)
     NR = _num_runs(grid.dims)
+    ext = ext_off is not None
+    n_ext = ext_capacity if ext else capacity
 
     keys = linearize(cells, grid)
     keys = jnp.where(active, keys, ncells)
     # self-row own-cell bounds (role quirk) + sorted index, as exact f32
+    # (GLOBAL rows in the sharded case - exact in f32 up to 2^24 rows)
     kc = jnp.minimum(keys, ncells - 1)
     csr = jnp.where(active, cell_start[kc], 0).astype(jnp.float32)
     cer = jnp.where(active, cell_start[kc + 1], 0).astype(jnp.float32)
-    idx = jnp.arange(capacity, dtype=jnp.int32).astype(jnp.float32)
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    if idx0 is not None:
+        idx = idx + idx0
+    idx = idx.astype(jnp.float32)
 
     kb = keys.reshape(maxb, BLOCK)
     ab = active.reshape(maxb, BLOCK)
@@ -206,8 +228,15 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
             live = (v >= u) & any_g[:, None]
             k_lo = jnp.clip(xlo[:, None] + nx * u, 0, ncells - 1)
             k_hi = jnp.clip(xhi[:, None] + nx * v, 0, ncells - 1)
-            s = jnp.where(live, cell_start[k_lo], 0)
-            e = jnp.where(live, cell_start[k_hi + 1], 0)
+            s_raw = cell_start[k_lo]
+            e_raw = cell_start[k_hi + 1]
+            if ext:
+                # rebase global rows into the halo-extended window; edge
+                # clips only drop rows beyond the guarded stencil reach
+                s_raw = jnp.clip(s_raw - ext_off, 0, n_ext)
+                e_raw = jnp.clip(e_raw - ext_off, 0, n_ext)
+            s = jnp.where(live, s_raw, 0)
+            e = jnp.where(live, e_raw, 0)
             run_s.append(s)
             run_e.append(e)
     s = jnp.concatenate(run_s, axis=1).reshape(-1)      # [maxb * NR]
@@ -254,7 +283,11 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     # by the same amount so covered rows stay exactly [max(s,off8), e) -
     # no loss, no double count against the previous chunk.  vend <= CH still
     # holds (e <= capacity and the clamped window ends at capacity).
-    off8c = jnp.maximum(jnp.minimum(off8, capacity - CH), 0)
+    # Sharded: the caller pads the extended pack with CH zero rows, so the
+    # limit is n_ext itself (off8 <= s <= n_ext: the clamp NEVER shifts -
+    # keeping per-chunk summation order identical to the single-chip sweep).
+    off_lim = n_ext if ext else capacity - CH
+    off8c = jnp.maximum(jnp.minimum(off8, off_lim), 0)
     sh = off8 - off8c
     off8 = off8c
     vstart = jnp.clip(vstart + sh, 0, CH)
@@ -293,14 +326,8 @@ def init_block_tables(capacity: int, ct_cap: int) -> BlockTables:
     )
 
 
-def estimate_chunk_total(position: np.ndarray, inv_cutoff: float,
-                         grid: Grid, capacity: int) -> int:
-    """Host-side chunk-count estimate for sizing ``ct_cap`` (numpy mirror of
-    ``make_block_tables``; padding rows beyond n land in empty blocks)."""
-    nx = grid.shape[0]
-    ny = grid.shape[1] if grid.dims == 3 else 1
-    ncells = grid.ncells
-    nrows = ncells // nx
+def _host_sorted_keys(position: np.ndarray, inv_cutoff: float, grid: Grid):
+    """Sorted linear cell keys of the live rows + global cell_start (numpy)."""
     c = (np.sign(position) * np.trunc(np.abs(position) * inv_cutoff + 0.5))
     c = c.astype(np.int64)
     c = np.clip(c, np.asarray(grid.cmin),
@@ -308,41 +335,83 @@ def estimate_chunk_total(position: np.ndarray, inv_cutoff: float,
     rel = c - np.asarray(grid.cmin)
     key = (rel * np.asarray(grid.strides)).sum(axis=1)
     key = np.sort(key)
-    counts = np.bincount(key, minlength=ncells)
+    counts = np.bincount(key, minlength=grid.ncells)
     cs = np.concatenate([[0], np.cumsum(counts)])
+    return key, cs
+
+
+def _host_block_chunks(kb: np.ndarray, cs: np.ndarray, grid: Grid) -> int:
+    """Chunk count of ONE 128-row block (numpy mirror of the table builder);
+    ``kb`` holds the block's live keys only (parking rows filtered out)."""
+    nx = grid.shape[0]
+    ny = grid.shape[1] if grid.dims == 3 else 1
+    ncells = grid.ncells
+    nrows = ncells // nx
+    rowb = kb // nx
+    cut = int(np.searchsorted(rowb, rowb[0], side="right")) if len(kb) else 0
+    total = 0
+    for g in (kb[:cut], kb[cut:]):
+        if len(g) == 0:
+            continue
+        xmn, xmx = (g % nx).min(), (g % nx).max()
+        xlo, xhi = max(xmn - 1, 0), min(xmx + 1, nx - 1)
+        ra, rb = g[0] // nx, g[-1] // nx
+        if grid.dims == 3:
+            rngs = [(ra - 1 - ny, min(rb + 1 - ny, ra - 2)),
+                    (ra - 1, rb + 1),
+                    (max(ra - 1 + ny, rb + 2), rb + 1 + ny)]
+        else:
+            rngs = [(ra - 1, rb + 1)]
+        for lo, hi in rngs:
+            lo, hi = max(lo, 0), min(hi, nrows - 1)
+            L = hi - lo + 1
+            if L <= 0:
+                continue
+            for jj in range(NS):
+                u = lo + (jj * L) // NS
+                v = lo + ((jj + 1) * L) // NS - 1
+                if v < u:
+                    continue
+                s = cs[xlo + nx * u]
+                e = cs[min(xhi + nx * v, ncells - 1) + 1]
+                if e > s:
+                    total += -(-(e - (s // 8) * 8) // CH)
+    return total
+
+
+def estimate_chunk_total(position: np.ndarray, inv_cutoff: float,
+                         grid: Grid, capacity: int) -> int:
+    """Host-side chunk-count estimate for sizing ``ct_cap`` (numpy mirror of
+    ``make_block_tables``; padding rows beyond n land in empty blocks)."""
+    key, cs = _host_sorted_keys(position, inv_cutoff, grid)
     n = len(key)
     total = 0
     for b0 in range(0, n, BLOCK):
-        kb = key[b0:b0 + BLOCK]
-        rowb = kb // nx
-        cut = int(np.searchsorted(rowb, rowb[0], side="right"))
-        for g in (kb[:cut], kb[cut:]):
-            if len(g) == 0:
-                continue
-            xmn, xmx = (g % nx).min(), (g % nx).max()
-            xlo, xhi = max(xmn - 1, 0), min(xmx + 1, nx - 1)
-            ra, rb = g[0] // nx, g[-1] // nx
-            if grid.dims == 3:
-                rngs = [(ra - 1 - ny, min(rb + 1 - ny, ra - 2)),
-                        (ra - 1, rb + 1),
-                        (max(ra - 1 + ny, rb + 2), rb + 1 + ny)]
-            else:
-                rngs = [(ra - 1, rb + 1)]
-            for lo, hi in rngs:
-                lo, hi = max(lo, 0), min(hi, nrows - 1)
-                L = hi - lo + 1
-                if L <= 0:
-                    continue
-                for jj in range(NS):
-                    u = lo + (jj * L) // NS
-                    v = lo + ((jj + 1) * L) // NS - 1
-                    if v < u:
-                        continue
-                    s = cs[xlo + nx * u]
-                    e = cs[min(xhi + nx * v, ncells - 1) + 1]
-                    if e > s:
-                        total += -(-(e - (s // 8) * 8) // CH)
+        total += _host_block_chunks(key[b0:b0 + BLOCK], cs, grid)
     return int(total)
+
+
+def estimate_chunk_totals_sharded(position: np.ndarray, inv_cutoff: float,
+                                  grid: Grid, capacity: int,
+                                  ndev: int) -> "list[int]":
+    """Per-device chunk-count estimates for sizing the sharded ``ct_cap``:
+    pad the sorted live keys to ``capacity`` with parking rows, slice the
+    equal slabs (blocks never straddle slab boundaries: C % 128 == 0), and
+    count each slab's cover.  Slight overestimate - the real builder also
+    clips runs at the halo edges."""
+    key, cs = _host_sorted_keys(position, inv_cutoff, grid)
+    full = np.full(capacity, grid.ncells, dtype=key.dtype)
+    full[: len(key)] = key
+    C = capacity // ndev
+    totals = []
+    for d in range(ndev):
+        slab = full[d * C : (d + 1) * C]
+        t = 0
+        for b0 in range(0, C, BLOCK):
+            kb = slab[b0 : b0 + BLOCK]
+            t += _host_block_chunks(kb[kb < grid.ncells], cs, grid)
+        totals.append(int(t))
+    return totals
 
 
 def pack_block_fields(position, velocity, density, pressure, ml, tables,
@@ -634,6 +703,16 @@ def pallas_block_sweep(
         tables, spec=spec,
     )
 
+    out = _invoke_block_kernel(spec, dims, maxb, tables, packed, packedT,
+                               interpret)
+    return _collect(out, spec, particles.active, position.dtype, dims)
+
+
+def _invoke_block_kernel(spec, dims, maxb, tables, packed_self, packedT_hbm,
+                         interpret):
+    """Launch the block kernel: selves = ``maxb`` 128-lane slices of the
+    lane-major pack, candidates DMA'd from the row-major pack (which may be
+    longer than the selves - the sharded halo-extended window)."""
     kernel, n_keys, k_pad = _make_block_kernel(spec, dims, maxb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -652,12 +731,97 @@ def pallas_block_sweep(
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((k_pad, cap), jnp.float32),),
+        out_shape=(jax.ShapeDtypeStruct((k_pad, maxb * BLOCK), jnp.float32),),
         interpret=interpret,
     )(
         tables.prog_start, tables.prog_mid, tables.chunk_tab,
-        packed, packedT,
+        packed_self, packedT_hbm,
     )
+    return out
+
+
+def pallas_block_sweep_sharded(
+    spec: PhysicsSpec,
+    grid: Grid,
+    ct_cap: int,
+    halo: int,
+    particles,               # LOCAL slab Particles (cell / ml / active)
+    cell_start,              # [ncells+2] int32 GLOBAL sorted rows (replicated)
+    position,                # [C, D] local sweep fields
+    density,
+    pressure,
+    velocity,
+    ctx,                     # sharded CommContext (inside shard_map)
+    tables: "BlockTables | None" = None,
+    interpret: bool = False,
+) -> SweepOut:
+    """Per-device block sweep under ``shard_map`` with a 1-hop halo exchange.
+
+    The sharded analog of :func:`pallas_block_sweep` (same kernel body, same
+    chunk economics): each device packs its local rows, ppermutes the
+    first/last ``halo`` packed rows with its slab neighbors (2 x [halo, 128]
+    transfers over ICI), and runs the block kernel with SELVES = its own C
+    rows and CANDIDATES DMA'd from the halo-extended row-major pack.  The
+    packed sorted index / own-cell bounds ride the exchange, so the
+    density-diffusion role quirk compares GLOBAL positions.  Outputs stay in
+    local sorted order ([k_pad, C] - no gather).  Per-device memory is
+    O(C + halo), and chunk boundaries shift rigidly vs the single-chip
+    tables (slab bases and halos are multiples of 128), keeping per-chunk
+    f32 summation orders identical.
+
+    Replaces the thread fan-out of the reference for the multi-chip case
+    (``src/SPHCellList.jl:174-214``), like ``pallas_pair_sweep_sharded`` -
+    but at the block kernel's measured ~2x lower sweep cost.
+    """
+    C = position.shape[0]
+    H = halo
+    if C % BLOCK != 0 or H % 128 != 0:
+        raise ValueError(f"local capacity {C} and halo {H} must be multiples of 128")
+    dims = position.shape[1]
+    n_ext = C + 2 * H
+    if n_ext < CH or n_ext > BLOCK_CAP_LIMIT:
+        # off8/8 must fit the packed chunk code's 16-bit field
+        raise ValueError(f"extended window {n_ext} out of the supported "
+                         f"range [{CH}, {BLOCK_CAP_LIMIT}]")
+    maxb = n_blocks(C)
+    base = ctx.rank() * C
+
+    if tables is None:
+        tables = make_block_tables(
+            cell_start, particles.cell, particles.active, grid, C, ct_cap,
+            ext_off=base - H, ext_capacity=n_ext, idx0=base,
+        )
+    if tables.chunk_tab.shape[0] != ct_cap or tables.csr.shape[0] != C:
+        raise ValueError(
+            f"block tables sized for ct_cap={tables.chunk_tab.shape[0]}, "
+            f"capacity={tables.csr.shape[0]}; expected {ct_cap}, {C}"
+        )
+
+    packed, packedT = pack_block_fields(
+        position, velocity, density, pressure, particles.motion_limiter,
+        tables, spec=spec,
+    )
+
+    # 1-hop halo exchange of the packed rows: my left halo is the LEFT
+    # neighbor's tail, my right halo the RIGHT neighbor's head.  Edge devices
+    # receive zeros (lax.ppermute semantics), which is correct: validity
+    # intervals are derived from the global cell_start and never reach past
+    # the global array ends into a missing halo.  Only the 16 useful pack
+    # columns ride the ICI (the row-major pack is lane-padded to 128; the
+    # pad re-materializes locally).  CH extra zero rows make the builder's
+    # window clamp a no-op (see make_block_tables).
+    ndev = ctx.num_devices
+    fwd = [(i, i + 1) for i in range(ndev - 1)]
+    bwd = [(i + 1, i) for i in range(ndev - 1)]
+    left = jax.lax.ppermute(packedT[C - H:, :16], ctx.axis, fwd)
+    right = jax.lax.ppermute(packedT[:H, :16], ctx.axis, bwd)
+    packedT_ext = jnp.concatenate(
+        [jnp.pad(left, ((0, 0), (0, 112))), packedT,
+         jnp.pad(right, ((0, CH, ), (0, 112)))], axis=0
+    )
+
+    out = _invoke_block_kernel(spec, dims, maxb, tables, packed, packedT_ext,
+                               interpret)
     return _collect(out, spec, particles.active, position.dtype, dims)
 
 

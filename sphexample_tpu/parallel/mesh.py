@@ -60,8 +60,9 @@ def state_specs(axis: str = AXIS) -> SimulationState:
             row_idx=P(axis), slot_pair=P(axis),
         ),
         max_halo=P(),
-        # the block sweep is single-chip only: sharded states carry EMPTY
-        # block tables ((0,)-shaped leaves shard trivially)
+        # per-device block tables, stacked on the device axis (the cell-pair
+        # and all-gather paths carry EMPTY tables: (0,)-shaped leaves shard
+        # trivially); chunk_total is replicated telemetry (pmax'd on rebuild)
         block_tables=BlockTables(
             prog_start=P(axis), prog_mid=P(axis), chunk_tab=P(axis),
             csr=P(axis), cer=P(axis), idx=P(axis), chunk_total=P(),
@@ -174,17 +175,21 @@ def measure_halo(position, active, inv_cutoff, grid, ndev: int, capacity: int) -
 
 
 def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = AXIS,
-                     min_halo: int = 0) -> Simulation:
+                     min_halo: int = 0, min_ct_cap: int = 0) -> Simulation:
     """Return a copy of ``sim`` whose state lives sharded over ``mesh`` and
     whose interval function runs SPMD.  Capacity is padded up to a multiple
     of ``ndev * 128`` (slab capacities stay 128-aligned for the Pallas DMA
     windows).
 
-    With ``cfg.use_pallas`` the sweeps run the per-device fused kernel with a
-    1-hop halo exchange (``pallas_pair_sweep_sharded``) - the halo capacity
-    is sized from the initial geometry with 2x margin and guarded by the
-    ``max_halo`` rebuild telemetry.  Without it (or when the measured halo
-    would exceed a slab) the all-gather XLA sweep runs instead."""
+    With ``cfg.use_pallas`` the sweeps run per-device fused kernels with a
+    1-hop halo exchange: the BLOCK kernel (``pallas_block_sweep_sharded``,
+    the hot path - ``meta.block_sweep`` and the per-device encoding budget
+    permitting, with ``ct_cap`` sized per slab) or the cell-pair kernel
+    otherwise.  The halo capacity is sized from the initial geometry with 2x
+    margin and guarded by the ``max_halo`` rebuild telemetry.  Without
+    ``use_pallas`` (or when the measured halo would exceed a slab) the
+    all-gather XLA sweep runs instead.  ``min_ct_cap`` is the retune floor
+    for the per-device chunk-table capacity."""
     import dataclasses as _dc
 
     mesh = mesh or make_mesh()
@@ -239,7 +244,45 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
         else:
             halo = 0  # slabs thinner than the stencil reach: 1 hop can't cover
 
-    if halo > 0:
+    # Per-device chunk-table capacity for the sharded BLOCK sweep: sized from
+    # the per-slab cover estimates with 2x headroom (max over devices - the
+    # tables are equal-shaped so slabs stay exchangeable across retunes), the
+    # same economics as the single-chip sizing in assemble_simulation.
+    ct_cap_dev = 0
+    if halo > 0 and getattr(sim.meta, "block_sweep", False):
+        from ..ops.pallas_block_sweep import (BLOCK_CAP_LIMIT,
+                                              estimate_chunk_totals_sharded)
+
+        C = new_cap // ndev
+        if C + 2 * halo <= BLOCK_CAP_LIMIT:
+            act = np.asarray(state.particles.active)
+            pos_live = np.asarray(state.particles.position)[act]
+            ests = estimate_chunk_totals_sharded(
+                pos_live, cfg0.spec.kernel.H_inv, cfg0.grid, new_cap, ndev
+            )
+            need = max(max(ests) * 2, int(min_ct_cap)) + 1024
+            ct_cap_dev = -(-need // 1024) * 1024
+            if ct_cap_dev >= 2 ** 24:
+                ct_cap_dev = 0  # degenerate cover: cell-pair kernel instead
+
+    tile = lambda a: jnp.tile(  # noqa: E731 - stack per-device tables
+        a[None], (ndev,) + (1,) * a.ndim
+    ).reshape((ndev * a.shape[0],) + a.shape[1:])
+
+    if ct_cap_dev > 0:
+        from ..ops.pallas_block_sweep import init_block_tables
+
+        t = init_block_tables(new_cap // ndev, ct_cap_dev)
+        state = state.replace(
+            pallas_tables=empty_pallas_tables(),
+            block_tables=BlockTables(
+                prog_start=tile(t.prog_start), prog_mid=tile(t.prog_mid),
+                chunk_tab=tile(t.chunk_tab), csr=tile(t.csr),
+                cer=tile(t.cer), idx=tile(t.idx),
+                chunk_total=t.chunk_total,  # scalar telemetry: replicated
+            ),
+        )
+    elif halo > 0:
         from ..ops.pallas_sweep import init_program_tables, sweep_rows
 
         # per-device tables, stacked on the device axis (leading dim shards)
@@ -248,24 +291,21 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
                                 C + 2 * halo, local_rows=C)
         state = state.replace(
             pallas_tables=jax.tree.map(
-                lambda a: jnp.tile(a[None], (ndev,) + (1,) * a.ndim).reshape(
-                    (ndev * a.shape[0],) + a.shape[1:]
-                ) if a.ndim else jnp.zeros((ndev,), a.dtype),
+                lambda a: tile(a) if a.ndim else jnp.zeros((ndev,), a.dtype),
                 t,
-            )
+            ),
+            block_tables=empty_block_tables(),
         )
     else:
         # the gather sweep needs no program tables
-        state = state.replace(pallas_tables=empty_pallas_tables())
+        state = state.replace(
+            pallas_tables=empty_pallas_tables(),
+            block_tables=empty_block_tables(),
+        )
 
-    # the block sweep is single-chip only: the sharded config runs the
-    # cell-pair halo kernel (or the all-gather fallback)
-    state = state.replace(
-        block_tables=empty_block_tables(),
-        max_chunks=jnp.zeros((), jnp.int32),
-    )
+    state = state.replace(max_chunks=jnp.zeros((), jnp.int32))
     interval_fn, cfg = make_sharded_interval_fn(
-        _dc.replace(cfg0, halo=halo, ct_cap=0), mesh, axis
+        _dc.replace(cfg0, halo=halo, ct_cap=ct_cap_dev), mesh, axis
     )
     specs = state_specs(axis)
     shardings = jax.tree.map(

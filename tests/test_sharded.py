@@ -96,7 +96,7 @@ def test_mesh_capacity_padding():
     assert int(jnp.sum(sharded.state.particles.active)) == sim.n_live
 
 
-def _tall_column_setup(use_pallas, mdbc=False, max_per_cell=None):
+def _tall_column_setup(use_pallas, mdbc=False, max_per_cell=None, block=False):
     """A tall 2D water column: thin in x, long in z, so the sorted particle
     slabs (z-major) are much thicker than one stencil reach - the geometry
     the 1-hop halo exchange needs."""
@@ -126,10 +126,12 @@ def _tall_column_setup(use_pallas, mdbc=False, max_per_cell=None):
         simulation_name="halo", save_location=".", dims=2, dtype="float64",
         simulation_time=0.02, output_times=0.005, block_size=32,
         grid_margin_cells=4, use_pallas=use_pallas,
-        # sharded sweeps run the cell-pair halo kernel; pin the single-chip
-        # reference to the SAME kernel so per-chunk f32 summation orders
-        # match and the sharded-vs-single comparison stays bitwise-tight
-        block_sweep=False,
+        # pin single-chip and sharded runs to the SAME kernel family so
+        # per-chunk f32 summation orders match and the sharded-vs-single
+        # comparison stays bitwise-tight: block=False -> cell-pair both
+        # sides; block=True -> block sweep both sides (sharded chunk windows
+        # shift rigidly vs single-chip - slab bases/halos are 128-multiples)
+        block_sweep=block,
         mdbc=MDBCMode.SIMPLE if mdbc else MDBCMode.NONE,
         **({"max_per_cell": max_per_cell} if max_per_cell else {}),
     )
@@ -156,20 +158,27 @@ def _tall_column_setup(use_pallas, mdbc=False, max_per_cell=None):
     return sim
 
 
+@pytest.mark.parametrize("block", [False, True])
 @pytest.mark.parametrize("mdbc", [False, True])
-def test_sharded_pallas_halo_matches_single_chip(mdbc):
-    """The per-device fused sweep (and, with mdbc, the per-device fused
-    moment kernel) with 1-hop halo exchange must reproduce the single-chip
-    Pallas trajectory (interpret mode on the virtual mesh) - with no
-    per-step all-gather anywhere in the step."""
+def test_sharded_pallas_halo_matches_single_chip(mdbc, block):
+    """The per-device fused sweep (cell-pair or BLOCK kernel, and, with
+    mdbc, the per-device fused moment kernel) with 1-hop halo exchange must
+    reproduce the single-chip Pallas trajectory (interpret mode on the
+    virtual mesh) - with no per-step all-gather anywhere in the step."""
     assert len(jax.devices()) >= 4
-    sim_single = _tall_column_setup(use_pallas=True, mdbc=mdbc)
+    sim_single = _tall_column_setup(use_pallas=True, mdbc=mdbc, block=block)
     sim_shard = shard_simulation(
-        _tall_column_setup(use_pallas=True, mdbc=mdbc), make_mesh(4))
+        _tall_column_setup(use_pallas=True, mdbc=mdbc, block=block),
+        make_mesh(4))
     assert sim_shard.cfg.halo > 0, (
         "halo sizing fell back to all-gather; enlarge the column so slabs "
         "exceed one stencil reach"
     )
+    if block:
+        assert sim_single.cfg.ct_cap > 0, "single-chip block path not engaged"
+        assert sim_shard.cfg.ct_cap > 0, "sharded block path not engaged"
+    else:
+        assert sim_shard.cfg.ct_cap == 0
 
     t_out = jnp.asarray(0.004, dtype=jnp.float64)
     final_single = sim_single.interval_fn(sim_single.state, t_out)
@@ -177,6 +186,8 @@ def test_sharded_pallas_halo_matches_single_chip(mdbc):
 
     assert int(final_shard.iteration) == int(final_single.iteration)
     assert int(final_shard.max_halo) <= sim_shard.cfg.halo
+    if block:
+        assert 0 < int(final_shard.max_chunks) <= sim_shard.cfg.ct_cap
 
     def by_id(state):
         ids = np.asarray(state.particles.id)
