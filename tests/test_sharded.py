@@ -267,6 +267,63 @@ def test_rebuild_sharded_with_real_migration():
             np.asarray(getattr(ref_sorted, field)), err_msg=field)
 
 
+def test_sharded_block_ct_cap_retune_recovers():
+    """Chunk-table overflow on the sharded BLOCK path must re-shard with a
+    grown per-device ct_cap and replay (the truncated cover sweeps wrong
+    physics, so the interval is invalid until the telemetry fits)."""
+    import dataclasses
+
+    from sphexample_tpu.core.driver import run_simulation
+    from sphexample_tpu.ops.pallas_block_sweep import init_block_tables
+    from sphexample_tpu.parallel.mesh import make_sharded_interval_fn
+
+    mesh = make_mesh(4)
+    sim = shard_simulation(_tall_column_setup(use_pallas=True, block=True),
+                           mesh)
+    assert sim.cfg.ct_cap > 0
+
+    # shrink the chunk budget below the real cover so the first rebuild's
+    # chunk_total overflows it (the build clamps the table - wrong physics,
+    # flagged by the max_chunks telemetry)
+    small = 16  # the real per-device cover is ~45 chunks on this column
+    ndev = 4
+    C = sim.state.particles.capacity // ndev
+    t = init_block_tables(C, small)
+    tile = lambda a: jnp.tile(  # noqa: E731
+        a[None], (ndev,) + (1,) * a.ndim
+    ).reshape((ndev * a.shape[0],) + a.shape[1:])
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from sphexample_tpu.parallel.mesh import state_specs
+
+    sim.state = sim.state.replace(
+        block_tables=type(sim.state.block_tables)(
+            prog_start=tile(t.prog_start), prog_mid=tile(t.prog_mid),
+            chunk_tab=tile(t.chunk_tab), csr=tile(t.csr), cer=tile(t.cer),
+            idx=tile(t.idx), chunk_total=t.chunk_total,
+        ),
+        max_chunks=jnp.zeros((), jnp.int32),
+    )
+    shardings = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), state_specs(),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    sim.state = jax.device_put(sim.state, shardings)
+    sim.interval_fn, sim.cfg = make_sharded_interval_fn(
+        dataclasses.replace(sim.cfg, ct_cap=small), mesh
+    )
+
+    out = run_simulation(sim, max_intervals=1)
+    assert out.cfg.ctx.is_sharded
+    assert out.cfg.ct_cap > small, "expected the retune to grow ct_cap"
+    assert int(out.state.max_chunks) <= out.cfg.ct_cap
+    assert float(out.state.total_time) > 0.0
+    dens = np.asarray(out.state.particles.density)
+    act = np.asarray(out.state.particles.active)
+    assert np.isfinite(dens[act]).all()
+
+
 def test_sharded_retune_recovers():
     """Window overflow under a mesh must re-shard with grown windows and
     replay the interval (it used to raise RuntimeError: VERDICT round-2
