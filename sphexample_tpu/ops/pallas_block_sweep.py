@@ -88,6 +88,13 @@ BLOCK_CAP_LIMIT = 2 ** 19
 # producing 49% of all chunks on the headline case).  Chunks carry the lane
 # interval [l0, l1) of their group; other lanes are masked.
 NG = 2
+# Blocks per grid program: >1 amortizes the per-program grid-pipeline floor
+# (scalar prologue, BlockSpec plumbing) over several 128-lane self blocks,
+# processed sequentially inside one program with a shared DMA ring (the
+# chunk stream stays globally ordered, so the cross-program pipeline is
+# unchanged).  Env-overridable for hardware A/B sweeps; falls back to 1
+# when the block count is not divisible.
+BPB = int(_os.environ.get("SPH_BLOCK_BPB", "1"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -449,7 +456,7 @@ def pack_block_fields(position, velocity, density, pressure, ml, tables,
     return packed, packedT
 
 
-def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
+def _make_block_kernel(spec: PhysicsSpec, dims, maxb, bpb=1):
     want_kernel = spec.kernel_output is KernelOutputMode.STORE
     want_shift = spec.shifting is ShiftingMode.PLANAR
     nfields = 2 * dims + 3
@@ -468,21 +475,16 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
         prog_start_ref,   # [maxb + 1] SMEM (prefetch): chunk start | cut<<24
         prog_mid_ref,     # [maxb] SMEM (prefetch): first group-B chunk
         chunk_tab_ref,    # [ct_cap] SMEM (prefetch): packed chunk codes
-        self_blk,         # [16, 128] VMEM (BlockSpec over the lane-major pack)
+        self_blk,         # [16, bpb*128] VMEM (BlockSpec over lane-major pack)
         packedT_hbm,      # [N, 128] HBM (row-major candidates)
-        out_blk,          # [k_pad, 128] VMEM (BlockSpec over [k_pad, N])
+        out_blk,          # [k_pad, bpb*128] VMEM (BlockSpec over [k_pad, N])
         cand_buf,         # [NBUF, CH, 128] VMEM scratch (DMA ring)
-        acc_ref,          # [n_keys, 8, 128] VMEM scratch
+        acc_ref,          # [bpb, n_keys, 8, 128] VMEM scratch
         sem,              # DMA semaphores (NBUF,)
     ):
-        b = pl.program_id(0)
+        pid = pl.program_id(0)
         M24 = jnp.int32(16777216)
         total = jax.lax.rem(prog_start_ref[maxb], M24)
-        pv = prog_start_ref[b]
-        g0 = jax.lax.rem(pv, M24)
-        cut = pv // M24 + 1   # stored as cut-1 (int32 headroom, see builder)
-        g1 = jax.lax.rem(prog_start_ref[b + 1], M24)
-        mid = prog_mid_ref[b]
 
         def _slot(g):
             # NBUF is a power of two: a mask beats the scalar-unit rem
@@ -509,7 +511,7 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
 
         # pipeline warm-up: only the first program primes the ring; later
         # programs inherit in-flight chunks issued by their predecessors
-        @pl.when(b == 0)
+        @pl.when(pid == 0)
         def _warmup():
             def wu(i, c):
                 @pl.when(i < total)
@@ -521,135 +523,160 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb):
 
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        # Self quantities, hoisted out of the chunk loop as DENSE [CH, 128]
-        # tiles: a [1, 128] row used in a mixed op would be sublane-broadcast
-        # at every consumer; materializing once per program amortizes it over
-        # every chunk (loop-invariant closure capture).
-        def dense_self(f):
-            return jnp.broadcast_to(self_blk[f : f + 1, :], (CH, BLOCK))
-
-        self_f = [dense_self(f) for f in range(nfields)]
-        rcp_i = dense_self(RCP)
-        idx_i = dense_self(IDX)
-        cs_i = dense_self(CSR)
-        ce_i = dense_self(CER)
-        rr_i = dense_self(RR)
-
         sub = jax.lax.broadcasted_iota(jnp.int32, (CH, BLOCK), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (CH, BLOCK), 1)
-        # Lane-group masking by SENTINEL, not by per-chunk mask ops: the
-        # chunk loop is split at prog_mid into a group-A and a group-B loop,
-        # and each loop's self x-field carries the OTHER group's lanes
-        # shifted far outside kernel support (q >> 2 -> the gradient factor
-        # g is EXACTLY zero by its built-in clamp, and the one
-        # non-g-proportional output, W, is masked by its explicit d2 <= H2
-        # cutoff - the same mechanism that already zeroes in-window junk
-        # rows >= one cell pitch away).  This deletes the per-chunk lane
-        # select AND the and-with-lane-mask (2 full-tile ops), plus the
-        # scalar g >= mid compare and its scalar->vector bridge.  The
-        # offset keeps every intermediate finite in f32: q ~ 500 puts the
-        # Wendland t^4 term at ~1e11, nowhere near overflow.
-        off = 256.0 * spec.kernel.h
-        offA = jnp.where(lane < cut, 0.0, off).astype(jnp.float32)
-        offB = jnp.where(lane >= cut, 0.0, off).astype(jnp.float32)
-        selfA = list(self_f)
-        selfA[0] = self_f[0] + offA
-        selfB = list(self_f)
-        selfB[0] = self_f[0] + offB
 
-        def body(g, c, self_g):
-            slot = _slot(g)
-            # keep DEPTH chunks in flight (slot g+DEPTH mod NBUF was last
-            # used by chunk g+DEPTH-NBUF < g: fully consumed)
-            ga = g + DEPTH
-            @pl.when(ga < total)
-            def _():
-                copy_for(ga, _slot(ga)).start()
-            wait_for(slot)
+        # With bpb > 1 the program processes ``bpb`` consecutive 128-lane
+        # self blocks sequentially (a static Python loop - the chunk stream
+        # stays globally ordered, so the DMA ring pipeline is untouched);
+        # the per-program grid floor amortizes over all of them.
+        for hb in range(bpb):
+            b = pid * bpb + hb if bpb > 1 else pid
+            pv = prog_start_ref[b]
+            g0 = jax.lax.rem(pv, M24)
+            cut = pv // M24 + 1  # stored as cut-1 (int32 headroom, builder)
+            g1 = jax.lax.rem(prog_start_ref[b + 1], M24)
+            mid = prog_mid_ref[b]
 
-            # decode vstart (8b) | vend-1 (8b) | off8/8 (16b, high)
-            v = chunk_tab_ref[g]
-            vs = jnp.bitwise_and(v, jnp.int32(255))
-            ve = jnp.bitwise_and(
-                jax.lax.shift_right_logical(v, jnp.int32(8)), jnp.int32(255)) + 1
-            buf = cand_buf[slot]                        # [CH, 128]
+            # Self quantities, hoisted out of the chunk loop as DENSE
+            # [CH, 128] tiles: a [1, 128] row used in a mixed op would be
+            # sublane-broadcast at every consumer; materializing once per
+            # block amortizes it over every chunk (loop-invariant capture).
+            L0 = hb * BLOCK
 
-            # Candidate columns are [CH, 1]: on TPU that is 8 nearly-empty
-            # vregs - the same vreg cost as a full tile - and every mixed op
-            # would lane-broadcast it again.  Materialize each field ONCE as
-            # a dense [CH, 128] tile; all pair math then runs on dense vregs.
-            def dense_cand(f):
-                return jnp.broadcast_to(buf[:, f : f + 1], (CH, BLOCK))
+            def dense_self(f):
+                return jnp.broadcast_to(
+                    self_blk[f : f + 1, L0 : L0 + BLOCK], (CH, BLOCK)
+                )
 
-            cand_f = [dense_cand(f) for f in range(nfields)]
-            rcp_j = dense_cand(RCP)
-            idx_j = dense_cand(IDX)
-            rr_j = dense_cand(RR)
-            # no lane-group mask: the loop split at prog_mid + the sentinel
-            # x-shift on the other group's lanes already zero every
-            # out-of-group contribution (see the selfA/selfB comment)
-            within = (sub >= vs) & (sub < ve)            # dense [CH, 128]
-            if want_kernel:
-                # self-pair exclusion: only the kernel sum W survives at
-                # d2 == 0, so the index test is only needed in STORE mode
-                within = within & (idx_j != idx_i)
-            # density-diffusion role quirk (cell-centric): intra-cell pairs
-            # give the i role to the lower sorted index, cross-cell pairs to
-            # the particle in the later cell (arrays are key-sorted, so
-            # later cell == higher sorted index)
-            same_cell = (idx_j >= cs_i) & (idx_j < ce_i)
-            i_is_role_i = ~(same_cell ^ (idx_i < idx_j))
-            terms = _pair_math(spec, dims, self_g, cand_f, i_is_role_i,
-                               within, rcps=(rcp_i, rcp_j), p_is_pq=True,
-                               rr=(rr_i, rr_j))
-            for k, key in enumerate(keys):
-                t = terms[key]                          # [CH, 128]
-                h = CH
-                while h > 8 and h % 16 == 0:            # tree-reduce to [8, 128]
-                    h //= 2
-                    t = t[0:h] + t[h : 2 * h]
-                if h > 8:  # CH = 192: h = 24 -> sum three 8-row tiles
-                    r8 = t[0:8]
-                    for o in range(8, h, 8):
-                        r8 = r8 + t[o : o + 8]
-                    t = r8
-                acc_ref[k] += t
-            return c
+            self_f = [dense_self(f) for f in range(nfields)]
+            rcp_i = dense_self(RCP)
+            idx_i = dense_self(IDX)
+            cs_i = dense_self(CSR)
+            ce_i = dense_self(CER)
+            rr_i = dense_self(RR)
 
-        # group-A chunks are [g0, mid), group-B chunks [mid, g1) - two loops
-        # with per-group sentinel selves replace the per-chunk lane select
-        def bodyA(g, c):
-            return body(g, c, selfA)
+            # Lane-group masking by SENTINEL, not by per-chunk mask ops: the
+            # chunk loop is split at prog_mid into a group-A and a group-B
+            # loop, and each loop's self x-field carries the OTHER group's
+            # lanes shifted far outside kernel support (q >> 2 -> the
+            # gradient factor g is EXACTLY zero by its built-in clamp, and
+            # the one non-g-proportional output, W, is masked by its
+            # explicit d2 <= H2 cutoff - the same mechanism that already
+            # zeroes in-window junk rows >= one cell pitch away).  This
+            # deletes the per-chunk lane select AND the and-with-lane-mask
+            # (2 full-tile ops), plus the scalar g >= mid compare and its
+            # scalar->vector bridge.  The offset keeps every intermediate
+            # finite in f32: q ~ 500 puts the Wendland t^4 term at ~1e11,
+            # nowhere near overflow.
+            off = 256.0 * spec.kernel.h
+            offA = jnp.where(lane < cut, 0.0, off).astype(jnp.float32)
+            offB = jnp.where(lane >= cut, 0.0, off).astype(jnp.float32)
+            selfA = list(self_f)
+            selfA[0] = self_f[0] + offA
+            selfB = list(self_f)
+            selfB[0] = self_f[0] + offB
 
-        def bodyB(g, c):
-            return body(g, c, selfB)
+            def body(g, c, self_g):
+                slot = _slot(g)
+                # keep DEPTH chunks in flight (slot g+DEPTH mod NBUF was
+                # last used by chunk g+DEPTH-NBUF < g: fully consumed)
+                ga = g + DEPTH
+                @pl.when(ga < total)
+                def _():
+                    copy_for(ga, _slot(ga)).start()
+                wait_for(slot)
 
-        if UNROLL > 1:
-            # fori_loop(unroll=...) requires static bounds; with the
-            # SMEM-read bounds the unroll must be manual: full groups of
-            # UNROLL chunks, then a rolled remainder loop
-            def unrolled(lo, hi, fn):
-                def fn_u(k, c):
-                    base = lo + k * jnp.int32(UNROLL)
-                    for u in range(UNROLL):
-                        fn(base + u, c)
-                    return c
+                # decode vstart (8b) | vend-1 (8b) | off8/8 (16b, high)
+                v = chunk_tab_ref[g]
+                vs = jnp.bitwise_and(v, jnp.int32(255))
+                ve = jnp.bitwise_and(
+                    jax.lax.shift_right_logical(v, jnp.int32(8)),
+                    jnp.int32(255)) + 1
+                buf = cand_buf[slot]                        # [CH, 128]
 
-                nfull = (hi - lo) // UNROLL
-                jax.lax.fori_loop(jnp.int32(0), nfull, fn_u, 0)
-                jax.lax.fori_loop(lo + nfull * UNROLL, hi, fn, 0)
+                # Candidate columns are [CH, 1]: on TPU that is 8 nearly-
+                # empty vregs - the same vreg cost as a full tile - and
+                # every mixed op would lane-broadcast it again.  Materialize
+                # each field ONCE as a dense [CH, 128] tile; all pair math
+                # then runs on dense vregs.
+                def dense_cand(f):
+                    return jnp.broadcast_to(buf[:, f : f + 1], (CH, BLOCK))
 
-            unrolled(g0, mid, bodyA)
-            unrolled(mid, g1, bodyB)
-        else:
-            jax.lax.fori_loop(g0, mid, bodyA, 0)
-            jax.lax.fori_loop(mid, g1, bodyB, 0)
+                cand_f = [dense_cand(f) for f in range(nfields)]
+                rcp_j = dense_cand(RCP)
+                idx_j = dense_cand(IDX)
+                rr_j = dense_cand(RR)
+                # no lane-group mask: the loop split at prog_mid + the
+                # sentinel x-shift on the other group's lanes already zero
+                # every out-of-group contribution (see the selfA/B comment)
+                within = (sub >= vs) & (sub < ve)            # dense [CH, 128]
+                if want_kernel:
+                    # self-pair exclusion: only the kernel sum W survives at
+                    # d2 == 0, so the index test is only needed in STORE mode
+                    within = within & (idx_j != idx_i)
+                # density-diffusion role quirk (cell-centric): intra-cell
+                # pairs give the i role to the lower sorted index,
+                # cross-cell pairs to the particle in the later cell (arrays
+                # are key-sorted, so later cell == higher sorted index)
+                same_cell = (idx_j >= cs_i) & (idx_j < ce_i)
+                i_is_role_i = ~(same_cell ^ (idx_i < idx_j))
+                terms = _pair_math(spec, dims, self_g, cand_f, i_is_role_i,
+                                   within, rcps=(rcp_i, rcp_j), p_is_pq=True,
+                                   rr=(rr_i, rr_j))
+                for k, key in enumerate(keys):
+                    t = terms[key]                          # [CH, 128]
+                    h = CH
+                    while h > 8 and h % 16 == 0:        # tree-reduce to [8,]
+                        h //= 2
+                        t = t[0:h] + t[h : 2 * h]
+                    if h > 8:  # CH = 192: h = 24 -> sum three 8-row tiles
+                        r8 = t[0:8]
+                        for o in range(8, h, 8):
+                            r8 = r8 + t[o : o + 8]
+                        t = r8
+                    acc_ref[hb, k] += t
+                return c
 
-        rows = [jnp.sum(acc_ref[k], axis=0, keepdims=True)
-                for k in range(n_keys)]
-        if k_pad > n_keys:
-            rows.append(jnp.zeros((k_pad - n_keys, BLOCK), jnp.float32))
-        out_blk[...] = jnp.concatenate(rows, axis=0)
+            # group-A chunks are [g0, mid), group-B chunks [mid, g1) - two
+            # loops with per-group sentinel selves replace the per-chunk
+            # lane select
+            def bodyA(g, c):
+                return body(g, c, selfA)
+
+            def bodyB(g, c):
+                return body(g, c, selfB)
+
+            if UNROLL > 1:
+                # fori_loop(unroll=...) requires static bounds; with the
+                # SMEM-read bounds the unroll must be manual: full groups of
+                # UNROLL chunks, then a rolled remainder loop
+                def unrolled(lo, hi, fn):
+                    def fn_u(k, c):
+                        base = lo + k * jnp.int32(UNROLL)
+                        for u in range(UNROLL):
+                            fn(base + u, c)
+                        return c
+
+                    nfull = (hi - lo) // UNROLL
+                    jax.lax.fori_loop(jnp.int32(0), nfull, fn_u, 0)
+                    jax.lax.fori_loop(lo + nfull * UNROLL, hi, fn, 0)
+
+                unrolled(g0, mid, bodyA)
+                unrolled(mid, g1, bodyB)
+            else:
+                jax.lax.fori_loop(g0, mid, bodyA, 0)
+                jax.lax.fori_loop(mid, g1, bodyB, 0)
+
+        halves = []
+        for hb in range(bpb):
+            rows = [jnp.sum(acc_ref[hb, k], axis=0, keepdims=True)
+                    for k in range(n_keys)]
+            if k_pad > n_keys:
+                rows.append(jnp.zeros((k_pad - n_keys, BLOCK), jnp.float32))
+            halves.append(jnp.concatenate(rows, axis=0))
+        out_blk[...] = (halves[0] if bpb == 1
+                        else jnp.concatenate(halves, axis=1))
 
     return kernel, n_keys, k_pad
 
@@ -712,19 +739,21 @@ def _invoke_block_kernel(spec, dims, maxb, tables, packed_self, packedT_hbm,
                          interpret):
     """Launch the block kernel: selves = ``maxb`` 128-lane slices of the
     lane-major pack, candidates DMA'd from the row-major pack (which may be
-    longer than the selves - the sharded halo-extended window)."""
-    kernel, n_keys, k_pad = _make_block_kernel(spec, dims, maxb)
+    longer than the selves - the sharded halo-extended window).  ``BPB``
+    blocks share one grid program when the block count divides."""
+    bpb = BPB if BPB > 1 and maxb % BPB == 0 else 1
+    kernel, n_keys, k_pad = _make_block_kernel(spec, dims, maxb, bpb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(maxb,),
+        grid=(maxb // bpb,),
         in_specs=[
-            pl.BlockSpec((16, BLOCK), lambda b, *_: (0, b)),
+            pl.BlockSpec((16, BLOCK * bpb), lambda b, *_: (0, b)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=(pl.BlockSpec((k_pad, BLOCK), lambda b, *_: (0, b)),),
+        out_specs=(pl.BlockSpec((k_pad, BLOCK * bpb), lambda b, *_: (0, b)),),
         scratch_shapes=[
             pltpu.VMEM((NBUF, CH, 128), jnp.float32),
-            pltpu.VMEM((n_keys, 8, 128), jnp.float32),
+            pltpu.VMEM((bpb, n_keys, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )

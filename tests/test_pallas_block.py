@@ -374,3 +374,33 @@ def test_block_sweep_ch_override_parity(ch):
     finally:
         pbs_mod.CH = old
         pbs_mod.pallas_block_sweep.clear_cache()
+
+
+@pytest.mark.parametrize("bpb", [2, 4])
+def test_block_sweep_bpb_override_parity(bpb):
+    """BPB (blocks per grid program, env SPH_BLOCK_BPB) amortizes the
+    per-program grid floor; pin the multi-block-program path - per-block
+    scalar decode, lane-sliced selves, per-block acc slots, lane-concatenated
+    output - against the XLA sweep.  capacity=1024 -> maxb=8, so bpb=4
+    exercises programs whose four blocks span live AND dead chunk ranges."""
+    import sphexample_tpu.ops.pallas_block_sweep as pbs_mod
+
+    old = pbs_mod.BPB
+    pbs_mod.BPB = bpb
+    pbs_mod.pallas_block_sweep.clear_cache()
+    try:
+        const, kern, grid, p, cs = _setup(3)
+        spec = PhysicsSpec(constants=const, kernel=kern,
+                           viscosity=ViscosityModel.ARTIFICIAL,
+                           diffusion=DensityDiffusionModel.LINEAR,
+                           shifting=ShiftingMode.PLANAR,
+                           kernel_output=KernelOutputMode.STORE)
+        ref = pair_sweep(spec, grid, 512, 64, p, cs, p.position, p.density,
+                         p.pressure, p.velocity)
+        out = pbs_mod.pallas_block_sweep(spec, grid, 8192, p, cs, p.position,
+                                         p.density, p.pressure, p.velocity,
+                                         interpret=True)
+        _compare(out, ref)
+    finally:
+        pbs_mod.BPB = old
+        pbs_mod.pallas_block_sweep.clear_cache()

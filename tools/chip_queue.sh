@@ -21,6 +21,10 @@ SPH_BLOCK_CH=256 timeout 1200 python tools/sweep_bench.py --which bsweep
 # 4. unroll A/B at best CH so far (re-run by hand at the winner)
 timeout 1200 python tools/sweep_bench.py --which bsweep --unroll 2
 
+# 4b. blocks-per-program A/B (amortizes the grid-pipeline floor)
+SPH_BLOCK_BPB=2 timeout 1200 python tools/sweep_bench.py --which bsweep
+SPH_BLOCK_BPB=4 timeout 1200 python tools/sweep_bench.py --which bsweep
+
 # 5. dual-window operand-cost probe
 timeout 900 python tools/lane_select_probe.py
 
