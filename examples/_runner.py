@@ -37,10 +37,25 @@ def standard_argparser(default_save: str) -> argparse.ArgumentParser:
                          "restart from the last checkpoint")
     ap.add_argument("--watchdog-hard", action="store_true",
                     help="exit with code 86 when the watchdog fires")
+    ap.add_argument("--shard", type=int, default=None, metavar="NDEV",
+                    help="shard the particle axis over NDEV devices "
+                         "(jax.sharding mesh over ICI; per-device fused "
+                         "sweeps + distributed rebuild with a 1-hop halo "
+                         "exchange, all-gather fallback for thin slabs)")
     return ap
 
 
 def apply_backend_args(args):
+    n = getattr(args, "shard", None)
+    if args.cpu and n:
+        # CPU smoke runs of the sharded path need virtual devices; the flag
+        # is read at backend initialization, so setting it here (before the
+        # first jax.devices()) still works even though jax is pre-imported
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count={n}".strip()
+            )
     if args.cpu:
         import jax
 
@@ -94,6 +109,21 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
     start_counter = 1
     if resume_path:
         sim, start_counter = resume_simulation(sim, resume_path)
+
+    ndev = getattr(args, "shard", None)
+    if ndev:
+        import jax
+
+        from sphexample_tpu.parallel.mesh import make_mesh, shard_simulation
+
+        if len(jax.devices()) < ndev:
+            raise SystemExit(
+                f"--shard {ndev}: only {len(jax.devices())} devices visible "
+                "(for a CPU smoke run set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                "before any jax import, plus --cpu)"
+            )
+        sim = shard_simulation(sim, make_mesh(ndev))
 
     # LogMode axis (reference SimulationMetaDataConfiguration.jl:12-33):
     # NONE disables the log file entirely - zero logger work, like the
