@@ -346,3 +346,48 @@ def test_sharded_retune_recovers():
     dens = np.asarray(out.state.particles.density)
     act = np.asarray(out.state.particles.active)
     assert np.isfinite(dens[act]).all()
+
+
+def test_sharded_checkpoint_resume_matches_continuous(tmp_path):
+    """Checkpoint a sharded run at an interval boundary, resume into a fresh
+    single-chip assembly, re-shard (the CLI's --resume + --shard order), and
+    continue: the trajectory must match the uninterrupted sharded run (the
+    displacement accumulator resets at interval start by design, so an
+    interval-boundary resume is exact)."""
+    from sphexample_tpu.core.driver import run_simulation
+    from sphexample_tpu.io.checkpoint import resume_simulation, save_checkpoint
+
+    mesh = make_mesh(4)
+    # continuous reference: two intervals
+    ref = shard_simulation(_tall_column_setup(use_pallas=True, block=True),
+                           mesh)
+    ref = run_simulation(ref, max_intervals=2)
+
+    # interrupted: one interval -> checkpoint -> fresh assembly -> resume ->
+    # re-shard -> one more interval
+    simA = shard_simulation(_tall_column_setup(use_pallas=True, block=True),
+                            mesh)
+    simA = run_simulation(simA, max_intervals=1)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, simA.state, 2, cfg=simA.cfg)
+
+    base = _tall_column_setup(use_pallas=True, block=True)
+    simB, counter = resume_simulation(base, path)
+    assert counter == 2
+    simB = shard_simulation(simB, mesh)
+    simB = run_simulation(simB, max_intervals=1, start_counter=counter)
+
+    assert int(simB.state.iteration) == int(ref.state.iteration)
+    np.testing.assert_allclose(float(simB.state.total_time),
+                               float(ref.state.total_time), rtol=1e-12)
+
+    def by_id(state):
+        ids = np.asarray(state.particles.id)
+        order = np.argsort(ids)
+        return order[ids[order] > 0]
+
+    o1, o2 = by_id(ref.state), by_id(simB.state)
+    for field in ("position", "velocity", "density", "pressure"):
+        a = np.asarray(getattr(ref.state.particles, field))[o1]
+        b = np.asarray(getattr(simB.state.particles, field))[o2]
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12, err_msg=field)
