@@ -155,7 +155,7 @@ def assemble_simulation(
             ct_cap = -(-(int(est * 2.0) + 1024) // 1024) * 1024
             if ct_cap >= 2 ** 24:
                 ct_cap = 0  # degenerate cover: use the cell-pair kernel
-        # beyond the block kernel's 16-bit row-offset budget, fall back to
+        # beyond the block kernel's row-offset field budget, fall back to
         # the cell-pair kernel (which supports the full capacity range)
 
     cfg = StepConfig(

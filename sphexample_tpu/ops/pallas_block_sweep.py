@@ -78,10 +78,15 @@ NS = 10
 # tools/sweep_bench.py).  The dynamic fori_loop body is compiled once per
 # unroll copy, so compile time stays flat.
 UNROLL = 1
-# Single-chip capacity ceiling of this kernel: off8/8 must fit the packed
-# chunk word's 16-bit field.  The driver falls back to the cell-pair kernel
-# beyond it (assemble_simulation / _retune).
-BLOCK_CAP_LIMIT = 2 ** 19
+# Packed chunk-word field widths are CH-dependent: vstart and vend-1 are
+# < CH, so they need S = ceil_log2(CH) bits each and off8/8 gets the
+# remaining 32 - 2S (the sign bit is data; logical shifts in the kernel).
+# At the default CH=128 that is 7+7+18 -> the capacity ceiling is 2^21 rows
+# (2M particles single-chip / per extended slab); CH=256 packs 8+8+16 ->
+# 2^19.  The driver falls back to the cell-pair kernel beyond it
+# (assemble_simulation / _retune).
+S_BITS = (CH - 1).bit_length()
+BLOCK_CAP_LIMIT = 1 << (35 - 2 * S_BITS)
 # Lane groups per block: selves are split at the first (y,z)-row boundary
 # and each group gets its own tight cover (a block straddling a row boundary
 # otherwise unions the x-extents of both rows - measured 23% of blocks
@@ -146,8 +151,9 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     lane interval is [0, cut) for group A and [cut, 128) for B, with ``cut``
     packed into ``prog_start``'s high byte (per-chunk lane bounds measured
     over the 1 MB scoped-SMEM cap at 430k particles).  The packed chunk
-    word is vstart | (vend-1)<<8 | off8/8 << 16 (logical shifts: the sign
-    bit is data; supports CH <= 256).  Chunk validity [vstart, vend) dedups the 8-aligned
+    word is vstart | (vend-1)<<S_BITS | off8/8 << 2*S_BITS (logical shifts:
+    the sign bit is data; field widths follow CH - see BLOCK_CAP_LIMIT).
+    Chunk validity [vstart, vend) dedups the 8-aligned
     window overlap against neighboring runs and excludes the inactive tail;
     everything else inside a window is masked by the kernel-support cutoff
     (see module docstring).
@@ -300,14 +306,24 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     vstart = jnp.clip(vstart + sh, 0, CH)
     vend = jnp.clip(vend + sh, 0, CH)
     dead = t >= jnp.minimum(total, ct_cap)
+    # canonicalize empty chunks before encoding: the clip bound lets vstart
+    # reach CH (= 2^S_BITS), which would bleed into the vend field - a
+    # non-empty chunk always has vstart < vend <= CH, so only empties can
+    # hit it, and (CH-1, 1) is an equally-empty in-range encoding
+    empty = vend <= vstart
+    vstart = jnp.where(empty, CH - 1, vstart)
+    vend = jnp.where(empty, 1, vend)
     # packed chunk code (one SMEM word per chunk, built with bit ops so the
-    # sign bit is just data): vstart (8b) | (vend-1) << 8 (8b) | off8/8
-    # << 16 (16b; logical shifts in the kernel).  Supports CH <= 256.
-    # Dead (padding) entries are 0 - they are DMA'd during warm-up (offset
-    # 0, harmless) but never decoded for compute.
+    # sign bit is just data): vstart (S_BITS) | (vend-1) << S_BITS |
+    # off8/8 << 2*S_BITS (logical shifts in the kernel; see BLOCK_CAP_LIMIT
+    # for the field economics).  Dead (padding) entries are 0 - they are
+    # DMA'd during warm-up (offset 0, harmless) but never decoded for
+    # compute.
     code = jnp.bitwise_or(
-        jnp.bitwise_or(vstart, jnp.left_shift(jnp.maximum(vend - 1, 0), 8)),
-        jnp.left_shift(off8 // 8, 16),
+        jnp.bitwise_or(
+            vstart, jnp.left_shift(jnp.maximum(vend - 1, 0), S_BITS)
+        ),
+        jnp.left_shift(off8 // 8, 2 * S_BITS),
     )
     tab = jnp.where(dead, 0, code)
 
@@ -347,9 +363,14 @@ def _host_sorted_keys(position: np.ndarray, inv_cutoff: float, grid: Grid):
     return key, cs
 
 
-def _host_block_chunks(kb: np.ndarray, cs: np.ndarray, grid: Grid) -> int:
+def _host_block_chunks(kb: np.ndarray, cs: np.ndarray, grid: Grid,
+                       windows: "list | None" = None,
+                       capacity: "int | None" = None) -> int:
     """Chunk count of ONE 128-row block (numpy mirror of the table builder);
-    ``kb`` holds the block's live keys only (parking rows filtered out)."""
+    ``kb`` holds the block's live keys only (parking rows filtered out).
+    With ``windows`` a list, also appends each chunk's exact (off8, vstart,
+    vend) - including the builder's tail clamp+shift against ``capacity`` -
+    so tests can verify the packed encoding word for word."""
     nx = grid.shape[0]
     ny = grid.shape[1] if grid.dims == 3 else 1
     ncells = grid.ncells
@@ -379,10 +400,22 @@ def _host_block_chunks(kb: np.ndarray, cs: np.ndarray, grid: Grid) -> int:
                 v = lo + ((jj + 1) * L) // NS - 1
                 if v < u:
                     continue
-                s = cs[xlo + nx * u]
-                e = cs[min(xhi + nx * v, ncells - 1) + 1]
+                s = int(cs[xlo + nx * u])
+                e = int(cs[min(xhi + nx * v, ncells - 1) + 1])
                 if e > s:
-                    total += -(-(e - (s // 8) * 8) // CH)
+                    s8 = (s // 8) * 8
+                    nch = -(-(e - s8) // CH)
+                    total += nch
+                    if windows is not None:
+                        for i in range(nch):
+                            off8 = s8 + CH * i
+                            vs = min(max(s - off8, 0), CH)
+                            ve = min(max(e - off8, 0), CH)
+                            off8c = max(min(off8, capacity - CH), 0)
+                            sh = off8 - off8c
+                            vs = min(max(vs + sh, 0), CH)
+                            ve = min(max(ve + sh, 0), CH)
+                            windows.append((off8c, vs, ve))
     return total
 
 
@@ -491,10 +524,12 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb, bpb=1):
             return jnp.bitwise_and(g, jnp.int32(NBUF - 1))
 
         def copy_for(g, slot):
-            # chunk code: vstart (8b) | vend-1 << 8 (8b) | off8/8 << 16
-            # (16b; the sign bit is data - decode with logical shifts)
+            # chunk code: vstart | vend-1 << S_BITS | off8/8 << 2*S_BITS
+            # (the sign bit is data - decode with logical shifts)
             off8 = pl.multiple_of(
-                jax.lax.shift_right_logical(chunk_tab_ref[g], jnp.int32(16)) * 8, 8
+                jax.lax.shift_right_logical(
+                    chunk_tab_ref[g], jnp.int32(2 * S_BITS)
+                ) * 8, 8
             )
             return pltpu.make_async_copy(
                 packedT_hbm.at[pl.ds(off8, CH)], cand_buf.at[slot],
@@ -587,12 +622,13 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb, bpb=1):
                     copy_for(ga, _slot(ga)).start()
                 wait_for(slot)
 
-                # decode vstart (8b) | vend-1 (8b) | off8/8 (16b, high)
+                # decode vstart | vend-1 | off8/8 (S_BITS/S_BITS/rest)
                 v = chunk_tab_ref[g]
-                vs = jnp.bitwise_and(v, jnp.int32(255))
+                fmask = jnp.int32((1 << S_BITS) - 1)
+                vs = jnp.bitwise_and(v, fmask)
                 ve = jnp.bitwise_and(
-                    jax.lax.shift_right_logical(v, jnp.int32(8)),
-                    jnp.int32(255)) + 1
+                    jax.lax.shift_right_logical(v, jnp.int32(S_BITS)),
+                    fmask) + 1
                 buf = cand_buf[slot]                        # [CH, 128]
 
                 # Candidate columns are [CH, 1]: on TPU that is 8 nearly-
@@ -709,8 +745,8 @@ def pallas_block_sweep(
     if cap % BLOCK != 0:
         raise ValueError(f"capacity {cap} must be a multiple of {BLOCK}")
     if cap < CH + 8 or cap > BLOCK_CAP_LIMIT:
-        # off8/8 must fit the packed code's 16-bit field; beyond half a
-        # million rows the driver uses the cell-pair kernel (or shard over
+        # off8/8 must fit the packed code's offset field; beyond it
+        # (~2M rows at CH=128) the driver uses the cell-pair kernel (or shard over
         # a mesh: parallel.shard_simulation)
         raise ValueError(f"capacity {cap} out of the supported range "
                          f"[{CH + 8}, {BLOCK_CAP_LIMIT}]")
@@ -809,7 +845,7 @@ def pallas_block_sweep_sharded(
     dims = position.shape[1]
     n_ext = C + 2 * H
     if n_ext < CH or n_ext > BLOCK_CAP_LIMIT:
-        # off8/8 must fit the packed chunk code's 16-bit field
+        # off8/8 must fit the packed chunk code's offset field
         raise ValueError(f"extended window {n_ext} out of the supported "
                          f"range [{CH}, {BLOCK_CAP_LIMIT}]")
     maxb = n_blocks(C)

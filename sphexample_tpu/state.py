@@ -174,7 +174,7 @@ class BlockTables:
     prog_mid: jax.Array     # [maxb] int32: first group-B chunk of the block
                             # (chunk g's lane group = g >= prog_mid[b])
     chunk_tab: jax.Array    # [ct_cap] int32 packed chunk code: vstart (8b)
-                            # | (vend-1) << 8 (8b) | off8/8 << 16 (16b,
+                            # | (vend-1) << S | off8/8 << 2S (S = S_BITS,
                             # logical shifts - the sign bit is data).  ONE
                             # word per chunk: two words measured over the
                             # 1 MB scoped-SMEM cap at 430k particles.

@@ -404,3 +404,57 @@ def test_block_sweep_bpb_override_parity(bpb):
     finally:
         pbs_mod.BPB = old
         pbs_mod.pallas_block_sweep.clear_cache()
+
+
+def test_block_tables_wide_offsets_beyond_2pow19():
+    """At the default CH=128 the chunk word packs 7+7+18 bits, raising the
+    capacity ceiling from 2^19 to 2^21 rows.  Build tables for a ~729k-row
+    lattice (off8 > 2^19: the widened offset field is actually exercised)
+    and verify every decoded (off8, vstart, vend) word-for-word against the
+    independent numpy mirror of the builder."""
+    import sphexample_tpu.ops.pallas_block_sweep as pbs_mod
+
+    if pbs_mod.CH != 128:
+        pytest.skip("encoding widths pinned at the default CH=128")
+    assert pbs_mod.S_BITS == 7
+    assert pbs_mod.BLOCK_CAP_LIMIT == 1 << 21
+
+    dx = 0.05
+    n_side = 90                      # 729,000 particles > 2^19 rows
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 3, dx=dx)
+    g = np.arange(n_side) * dx
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    pos = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
+    pos -= pos.mean(axis=0)
+    n = len(pos)
+    capacity = -(-(n + 256) // 128) * 128
+    const = SimulationConstants(dx=dx, cfl=0.5)
+    parts = allocate_particles(
+        pos, np.full(n, 1000.0), np.ones(n, np.int32), np.ones(n, np.int32),
+        np.arange(1, n + 1), dtype=jnp.float32, capacity=capacity,
+    )
+    grid = cl.grid_from_positions(pos, kern.H_inv, margin_cells=3)
+    sorted_p, cell_start, _ = cl.rebuild(parts, kern.H_inv, grid)
+
+    ct_cap = 1 << 18
+    t = pbs_mod.make_block_tables(cell_start, sorted_p.cell, sorted_p.active,
+                                  grid, capacity, ct_cap)
+    total = int(t.chunk_total)
+    assert 0 < total <= ct_cap
+    u = np.asarray(t.chunk_tab[:total], dtype=np.int64) & 0xFFFFFFFF
+    off8 = (u >> 14) * 8
+    vs = u & 127
+    ve = ((u >> 7) & 127) + 1
+    assert int(off8.max()) > (1 << 19), "test state never exercised wide offsets"
+
+    key, cs = pbs_mod._host_sorted_keys(pos, kern.H_inv, grid)
+    key = np.concatenate([key, np.full(capacity - n, grid.ncells, key.dtype)])
+    wins = []
+    for b0 in range(0, capacity, pbs_mod.BLOCK):
+        kb = key[b0 : b0 + pbs_mod.BLOCK]
+        pbs_mod._host_block_chunks(kb[kb < grid.ncells], cs, grid,
+                                   windows=wins, capacity=capacity)
+    assert len(wins) == total
+    np.testing.assert_array_equal(off8, np.asarray([w[0] for w in wins]))
+    np.testing.assert_array_equal(vs, np.asarray([w[1] for w in wins]))
+    np.testing.assert_array_equal(ve, np.asarray([w[2] for w in wins]))
