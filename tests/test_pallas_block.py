@@ -458,3 +458,28 @@ def test_block_tables_wide_offsets_beyond_2pow19():
     np.testing.assert_array_equal(off8, np.asarray([w[0] for w in wins]))
     np.testing.assert_array_equal(vs, np.asarray([w[1] for w in wins]))
     np.testing.assert_array_equal(ve, np.asarray([w[2] for w in wins]))
+
+
+def test_block_sweep_unroll_override_parity():
+    """UNROLL=2 (manual chunk-loop unroll: full groups of 2, rolled
+    remainder) must visit exactly the same chunks in the same order - pin it
+    against the XLA sweep before the chip A/B."""
+    import sphexample_tpu.ops.pallas_block_sweep as pbs_mod
+
+    old = pbs_mod.UNROLL
+    pbs_mod.UNROLL = 2
+    pbs_mod.pallas_block_sweep.clear_cache()
+    try:
+        const, kern, grid, p, cs = _setup(3)
+        spec = PhysicsSpec(constants=const, kernel=kern,
+                           viscosity=ViscosityModel.ARTIFICIAL,
+                           diffusion=DensityDiffusionModel.LINEAR)
+        ref = pair_sweep(spec, grid, 512, 64, p, cs, p.position, p.density,
+                         p.pressure, p.velocity)
+        out = pbs_mod.pallas_block_sweep(spec, grid, 8192, p, cs, p.position,
+                                         p.density, p.pressure, p.velocity,
+                                         interpret=True)
+        _compare(out, ref)
+    finally:
+        pbs_mod.UNROLL = old
+        pbs_mod.pallas_block_sweep.clear_cache()
