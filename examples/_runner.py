@@ -37,6 +37,11 @@ def standard_argparser(default_save: str) -> argparse.ArgumentParser:
                          "restart from the last checkpoint")
     ap.add_argument("--watchdog-hard", action="store_true",
                     help="exit with code 86 when the watchdog fires")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one post-compile "
+                         "output interval into DIR (TensorBoard/xprof "
+                         "format) - the TPU analog of the reference's "
+                         "@profview wrapper (example/StillWedgeMDBC.jl:62)")
     ap.add_argument("--shard", type=int, default=None, metavar="NDEV",
                     help="shard the particle axis over NDEV devices "
                          "(jax.sharding mesh over ICI; per-device fused "
@@ -124,6 +129,24 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
                 "before any jax import, plus --cpu)"
             )
         sim = shard_simulation(sim, make_mesh(ndev))
+
+    prof_dir = getattr(args, "profile", None)
+    if prof_dir:
+        # trace the SECOND interval: the first one compiles (minutes on the
+        # tunneled chip), which would drown the trace in XLA compile events
+        inner_fn = sim.interval_fn
+        n_calls = [0]
+
+        def traced_interval(state, t_out, progress=None):
+            import jax
+
+            n_calls[0] += 1
+            if n_calls[0] == 2:
+                with jax.profiler.trace(prof_dir):
+                    return inner_fn(state, t_out, progress=progress)
+            return inner_fn(state, t_out, progress=progress)
+
+        sim.interval_fn = traced_interval
 
     # LogMode axis (reference SimulationMetaDataConfiguration.jl:12-33):
     # NONE disables the log file entirely - zero logger work, like the
