@@ -217,6 +217,18 @@ def main():
         from sphexample_tpu.utils.watchdog import DeviceWatchdog
 
         if not wait_for_device(float(os.environ.get("SPH_BENCH_WAIT", 1800))):
+            # leave an explicit record instead of a silent exit: a round
+            # artifact with value 0 + error is honest; a hang or an empty
+            # file is not (no measurement is fabricated)
+            print(json.dumps({
+                "metric": f"particle_steps_per_sec_{args.case}",
+                "value": 0.0,
+                "unit": "particle-steps/s",
+                "vs_baseline": 0.0,
+                "vs_target": 0.0,
+                "error": "TPU transport unreachable for the whole "
+                         "SPH_BENCH_WAIT window - no measurement taken",
+            }))
             sys.exit(86)
         wd = DeviceWatchdog(
             timeout=float(os.environ.get("SPH_BENCH_WATCHDOG", 1800)),
