@@ -220,8 +220,16 @@ def main():
             # leave an explicit record instead of a silent exit: a round
             # artifact with value 0 + error is honest; a hang or an empty
             # file is not (no measurement is fabricated)
+            # reconstruct the success-path metric name (dx default + case
+            # size are host-side) so the error datapoint lands in the SAME
+            # series as every successful round
+            from sphexample_tpu.io.casegen import dam_break_2d, dam_break_3d
+
+            dx0 = args.dx or (0.0085 if args.case == "dambreak3d" else 0.01)
+            gen = dam_break_3d if args.case == "dambreak3d" else dam_break_2d
+            n0 = len(gen(dx0)[1])
             print(json.dumps({
-                "metric": f"particle_steps_per_sec_{args.case}",
+                "metric": f"particle_steps_per_sec_{args.case}_dp{dx0}_n{n0}",
                 "value": 0.0,
                 "unit": "particle-steps/s",
                 "vs_baseline": 0.0,

@@ -105,7 +105,10 @@ def assemble_simulation(
         # length, so sharded slabs reproduce the single-chip sums exactly
         cwin = -(-(cseg + mpc) // 128) * 128 + 128
         capacity = max(capacity or 0, n + cwin + 128, n + 256)
-        capacity = -(-capacity // 128) * 128
+        # 512 = 4 blocks: keeps the block count divisible by the BPB
+        # (blocks-per-program) A/B settings 2 and 4, so SPH_BLOCK_BPB never
+        # silently falls back to 1 on the benchmark cases
+        capacity = -(-capacity // 512) * 512
     else:
         mpc_pad = mpc
         cseg = 3 * mpc

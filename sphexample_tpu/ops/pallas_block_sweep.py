@@ -479,9 +479,12 @@ def pack_block_fields(position, velocity, density, pressure, ml, tables,
     if spec is not None and spec.diffusion is DensityDiffusionModel.LINEAR:
         C_lin = linear_hydrostatic_constant(spec.constants)
     rr = rho_g + C_lin * position[:, -1]
+    # column order: the fields candidates consume (phys + rcp + idx + rr)
+    # come FIRST, the self-only own-cell bounds (csr/cer) last - the sharded
+    # halo exchange ships only the candidate-consumed prefix
     cols = [position, velocity, rho_g[:, None], (pressure * rcp)[:, None],
-            ml[:, None], rcp[:, None], tables.idx[:, None],
-            tables.csr[:, None], tables.cer[:, None], rr[:, None]]
+            ml[:, None], rcp[:, None], tables.idx[:, None], rr[:, None],
+            tables.csr[:, None], tables.cer[:, None]]
     rowmajor = jnp.concatenate([c.astype(jnp.float32) for c in cols], axis=1)
     w = rowmajor.shape[1]
     packedT = jnp.pad(rowmajor, ((0, 0), (0, 128 - w)))
@@ -493,8 +496,8 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb, bpb=1):
     want_kernel = spec.kernel_output is KernelOutputMode.STORE
     want_shift = spec.shifting is ShiftingMode.PLANAR
     nfields = 2 * dims + 3
-    RCP, IDX = nfields, nfields + 1
-    CSR, CER, RR = nfields + 2, nfields + 3, nfields + 4
+    RCP, IDX, RR = nfields, nfields + 1, nfields + 2
+    CSR, CER = nfields + 3, nfields + 4
 
     keys = ["drho"] + [f"dvdt{r}" for r in range(dims)]
     if want_kernel:
@@ -778,6 +781,13 @@ def _invoke_block_kernel(spec, dims, maxb, tables, packed_self, packedT_hbm,
     longer than the selves - the sharded halo-extended window).  ``BPB``
     blocks share one grid program when the block count divides."""
     bpb = BPB if BPB > 1 and maxb % BPB == 0 else 1
+    if bpb != BPB:
+        # trace-time warning (fires once per compile): a silent fallback
+        # would mislabel chip A/B measurements as the requested BPB
+        import sys
+
+        print(f"[sphexample_tpu] SPH_BLOCK_BPB={BPB} ignored: {maxb} blocks "
+              f"not divisible - running bpb=1", file=sys.stderr)
     kernel, n_keys, k_pad = _make_block_kernel(spec, dims, maxb, bpb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -848,6 +858,15 @@ def pallas_block_sweep_sharded(
         # off8/8 must fit the packed chunk code's offset field
         raise ValueError(f"extended window {n_ext} out of the supported "
                          f"range [{CH}, {BLOCK_CAP_LIMIT}]")
+    if ctx.num_devices * C > 2 ** 24:
+        # the packed sorted index / own-cell bounds are exact f32 integers
+        # only below 2^24 GLOBAL rows; beyond that the role quirk and the
+        # self-pair exclusion would silently misclassify boundary pairs -
+        # shard_simulation falls back to the cell-pair kernel instead
+        raise ValueError(
+            f"global row count {ctx.num_devices * C} exceeds the f32 "
+            "sorted-index budget (2^24) of the block kernel"
+        )
     maxb = n_blocks(C)
     base = ctx.rank() * C
 
@@ -871,18 +890,20 @@ def pallas_block_sweep_sharded(
     # neighbor's tail, my right halo the RIGHT neighbor's head.  Edge devices
     # receive zeros (lax.ppermute semantics), which is correct: validity
     # intervals are derived from the global cell_start and never reach past
-    # the global array ends into a missing halo.  Only the 16 useful pack
-    # columns ride the ICI (the row-major pack is lane-padded to 128; the
-    # pad re-materializes locally).  CH extra zero rows make the builder's
-    # window clamp a no-op (see make_block_tables).
+    # the global array ends into a missing halo.  Only the columns that
+    # candidate rows actually consume ride the ICI (phys + rcp + idx + rr;
+    # the self-only csr/cer bounds and the 128-lane pad re-materialize as
+    # zeros locally).  CH extra zero rows make the builder's window clamp a
+    # no-op (see make_block_tables).
+    W = 2 * dims + 6  # nfields + rcp + idx + rr
     ndev = ctx.num_devices
     fwd = [(i, i + 1) for i in range(ndev - 1)]
     bwd = [(i + 1, i) for i in range(ndev - 1)]
-    left = jax.lax.ppermute(packedT[C - H:, :16], ctx.axis, fwd)
-    right = jax.lax.ppermute(packedT[:H, :16], ctx.axis, bwd)
+    left = jax.lax.ppermute(packedT[C - H:, :W], ctx.axis, fwd)
+    right = jax.lax.ppermute(packedT[:H, :W], ctx.axis, bwd)
     packedT_ext = jnp.concatenate(
-        [jnp.pad(left, ((0, 0), (0, 112))), packedT,
-         jnp.pad(right, ((0, CH, ), (0, 112)))], axis=0
+        [jnp.pad(left, ((0, 0), (0, 128 - W))), packedT,
+         jnp.pad(right, ((0, CH), (0, 128 - W)))], axis=0
     )
 
     out = _invoke_block_kernel(spec, dims, maxb, tables, packed, packedT_ext,

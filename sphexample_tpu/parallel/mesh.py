@@ -254,7 +254,10 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
                                               estimate_chunk_totals_sharded)
 
         C = new_cap // ndev
-        if C + 2 * halo <= BLOCK_CAP_LIMIT:
+        # the packed sorted index is exact f32 only below 2^24 GLOBAL rows
+        # (the role quirk compares global positions); beyond either budget
+        # the cell-pair kernel serves the halo path instead
+        if C + 2 * halo <= BLOCK_CAP_LIMIT and new_cap <= 2 ** 24:
             act = np.asarray(state.particles.active)
             pos_live = np.asarray(state.particles.position)[act]
             ests = estimate_chunk_totals_sharded(
