@@ -195,7 +195,9 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
     mesh = mesh or make_mesh()
     ndev = mesh.shape[axis]
     cap = sim.state.particles.capacity
-    new_cap = int(-(-cap // (ndev * 128)) * (ndev * 128))
+    # 512 rows = 4 blocks per device: keeps per-slab block counts divisible
+    # by the BPB (blocks-per-program) settings, like assemble_simulation
+    new_cap = int(-(-cap // (ndev * 512)) * (ndev * 512))
     state = pad_capacity(sim.state, new_cap)
 
     # Pre-sort into global cell-sorted order BEFORE slicing into slabs: the

@@ -483,3 +483,27 @@ def test_block_sweep_unroll_override_parity():
     finally:
         pbs_mod.UNROLL = old
         pbs_mod.pallas_block_sweep.clear_cache()
+
+
+def test_block_sweep_bpb_unroll_combined_parity():
+    """BPB=2 x UNROLL=2 together (the likely post-A/B production combo):
+    per-half manual unroll loops with per-block acc slots."""
+    import sphexample_tpu.ops.pallas_block_sweep as pbs_mod
+
+    old_b, old_u = pbs_mod.BPB, pbs_mod.UNROLL
+    pbs_mod.BPB, pbs_mod.UNROLL = 2, 2
+    pbs_mod.pallas_block_sweep.clear_cache()
+    try:
+        const, kern, grid, p, cs = _setup(3)
+        spec = PhysicsSpec(constants=const, kernel=kern,
+                           viscosity=ViscosityModel.ARTIFICIAL,
+                           diffusion=DensityDiffusionModel.LINEAR)
+        ref = pair_sweep(spec, grid, 512, 64, p, cs, p.position, p.density,
+                         p.pressure, p.velocity)
+        out = pbs_mod.pallas_block_sweep(spec, grid, 8192, p, cs, p.position,
+                                         p.density, p.pressure, p.velocity,
+                                         interpret=True)
+        _compare(out, ref)
+    finally:
+        pbs_mod.BPB, pbs_mod.UNROLL = old_b, old_u
+        pbs_mod.pallas_block_sweep.clear_cache()
