@@ -434,6 +434,14 @@ def make_interval_fn(cfg: StepConfig):
         )
         return final, dx_out
 
+    return make_chunk_loop(cfg, chunk)
+
+
+def make_chunk_loop(cfg: StepConfig, chunk):
+    """Host loop driving ``chunk(state, t_out, dx_acc)`` calls until the
+    output time is crossed - shared by the single-chip and sharded interval
+    functions (``parallel/mesh.py``), so both get the progress spinner AND
+    the device-call watchdog."""
     wd_timeout = getattr(cfg.meta, "device_call_timeout", None)
     # the FIRST chunk call of this interval_fn traces + compiles (minutes on
     # the tunneled chip for big kernels) - the watchdog must not count that

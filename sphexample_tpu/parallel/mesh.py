@@ -128,20 +128,11 @@ def make_sharded_interval_fn(cfg: StepConfig, mesh: Mesh, axis: str = AXIS):
         check_vma=False,
     ))
 
-    def interval(state: SimulationState, t_out, progress=None) -> SimulationState:
-        from ..core.step import _check_interval_progress
+    # shared host chunk loop: progress spinner + device-call watchdog
+    # (a stalled transport in a sharded run fails as loudly as single-chip)
+    from ..core.step import make_chunk_loop
 
-        dx = jnp.asarray(1.0 + cfg.spec.kernel.h, dtype=state.total_time.dtype)
-        while True:
-            it_before = int(state.iteration)
-            state, dx = sharded_chunk(state, t_out, dx)
-            _check_interval_progress(state, t_out, it_before)
-            if float(state.total_time) > float(t_out):
-                return state
-            if progress is not None:
-                progress(state)
-
-    return interval, cfg
+    return make_chunk_loop(cfg, sharded_chunk), cfg
 
 
 def measure_halo(position, active, inv_cutoff, grid, ndev: int, capacity: int) -> int:
