@@ -507,3 +507,38 @@ def test_block_sweep_bpb_unroll_combined_parity():
     finally:
         pbs_mod.BPB, pbs_mod.UNROLL = old_b, old_u
         pbs_mod.pallas_block_sweep.clear_cache()
+
+
+@pytest.mark.parametrize("dims,seed", [(2, 0), (3, 1), (3, 7)])
+def test_block_tables_match_host_mirror(dims, seed):
+    """Randomized word-for-word comparison of the device table builder vs
+    the independent numpy mirror (irregular clouds, both dims) - the mirror
+    also sizes ct_cap, so drift between the two is a sizing bug."""
+    import sphexample_tpu.ops.pallas_block_sweep as pbs_mod
+
+    const, kern, grid, p, cs = _setup(dims, n=300, seed=seed, capacity=1024)
+    ct_cap = 8192
+    t = pbs_mod.make_block_tables(cs, p.cell, p.active, grid,
+                                  p.capacity, ct_cap)
+    total = int(t.chunk_total)
+    assert 0 < total < ct_cap
+    S = pbs_mod.S_BITS
+    u = np.asarray(t.chunk_tab[:total], dtype=np.int64) & 0xFFFFFFFF
+    off8 = (u >> (2 * S)) * 8
+    vs = u & ((1 << S) - 1)
+    ve = ((u >> S) & ((1 << S) - 1)) + 1
+
+    act = np.asarray(p.active)
+    key, cs_h = pbs_mod._host_sorted_keys(
+        np.asarray(p.position)[act], kern.H_inv, grid)
+    cap = p.capacity
+    key = np.concatenate([key, np.full(cap - len(key), grid.ncells, key.dtype)])
+    wins = []
+    for b0 in range(0, cap, pbs_mod.BLOCK):
+        kb = key[b0 : b0 + pbs_mod.BLOCK]
+        pbs_mod._host_block_chunks(kb[kb < grid.ncells], cs_h, grid,
+                                   windows=wins, capacity=cap)
+    assert len(wins) == total
+    np.testing.assert_array_equal(off8, np.asarray([w[0] for w in wins]))
+    np.testing.assert_array_equal(vs, np.asarray([w[1] for w in wins]))
+    np.testing.assert_array_equal(ve, np.asarray([w[2] for w in wins]))
