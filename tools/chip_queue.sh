@@ -25,6 +25,9 @@ timeout 1200 python tools/sweep_bench.py --which bsweep --unroll 2
 SPH_BLOCK_BPB=2 timeout 1200 python tools/sweep_bench.py --which bsweep
 SPH_BLOCK_BPB=4 timeout 1200 python tools/sweep_bench.py --which bsweep
 
+# 4c. combined (the likely production combo if both win alone)
+SPH_BLOCK_BPB=2 timeout 1200 python tools/sweep_bench.py --which bsweep --unroll 2
+
 # 5. dual-window operand-cost probe
 timeout 900 python tools/lane_select_probe.py
 
