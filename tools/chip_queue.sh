@@ -12,7 +12,7 @@ timeout 120 python -c "import jax; x=jax.numpy.ones((8,128)); print('LIVE', floa
 timeout 1800 python tools/tpu_parity_check.py || exit 1
 
 # 2. attribution at CH=128 (current default) + probes
-timeout 1800 python tools/sweep_bench.py --which step,nostep,bsweep,bstub,blaunch,rebuildcost
+timeout 1800 python tools/sweep_bench.py --which step,nostep,intonly,dtonly,bsweep,bstub,blaunch,rebuildcost
 
 # 3. CH A/B
 SPH_BLOCK_CH=192 timeout 1200 python tools/sweep_bench.py --which bsweep

@@ -4,6 +4,8 @@ Measures, on the headline dam-break state (after one rebuild):
 
   step        full sph_step (fixed-steps loop)                [particle-steps/s]
   nostep      sph_step with both sweeps stubbed to zeros      [everything else]
+  intonly     nostep with adaptive dt also stubbed            [integrator alone]
+  dtonly      the adaptive-dt chain in an isolated loop       [dt reductions]
   sweep       one pallas_pair_sweep in a fori_loop            [the hot kernel]
   sweepstub   same, _pair_math stubbed to one mul             [DMA + overhead]
   xsweep      the XLA gather sweep in a fori_loop             [comparison]
@@ -32,10 +34,17 @@ def main():
                          "of predicated (branch-vs-lanes experiment)")
     ap.add_argument("--unroll", type=int, default=1,
                     help="block-kernel chunk-loop unroll factor (ILP A/B)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the env var is not honored "
+                         "on this image - must be set programmatically); "
+                         "numbers are then smoke-tests, not measurements")
     args = ap.parse_args()
     which = set(args.which.split(","))
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from sphexample_tpu import (DensityDiffusionModel, KernelFamily,
@@ -87,23 +96,59 @@ def main():
         run = make_fixed_steps_fn(cfg, reps)
         timeit("step", run, sim.state)
 
+    def zero_sweep(cfg_, pp, cs_, pos_, dens_, pres_, vel_, idx_base,
+                   tables=None, btables=None):
+        from sphexample_tpu.ops.interactions import SweepOut
+        z = jnp.zeros_like(dens_)
+        return SweepOut(drhodt=z, acceleration=jnp.zeros_like(pos_),
+                        kernel_w=None, kernel_grad=None, grad_c=None,
+                        div_r=None)
+
     if "nostep" in which:
         real_sweep = step_mod._sweep
-
-        def zero_sweep(cfg_, pp, cs_, pos_, dens_, pres_, vel_, idx_base,
-                       tables=None, btables=None):
-            from sphexample_tpu.ops.interactions import SweepOut
-            z = jnp.zeros_like(dens_)
-            return SweepOut(drhodt=z, acceleration=jnp.zeros_like(pos_),
-                            kernel_w=None, kernel_grad=None, grad_c=None,
-                            div_r=None)
-
         step_mod._sweep = zero_sweep
         try:
             run0 = make_fixed_steps_fn(cfg, reps)
             timeit("nostep", run0, sim.state)
         finally:
             step_mod._sweep = real_sweep
+
+    if "intonly" in which:
+        # nostep with the adaptive-dt chain ALSO stubbed (constant dt):
+        # nostep - intonly = the in-situ cost of the dt reductions;
+        # intonly itself = integrator elementwise + rebuild cond + motion
+        real_sweep = step_mod._sweep
+        real_dt = step_mod.adaptive_dt
+
+        def const_dt(position, velocity, acceleration, constants, kernel,
+                     ctx=None):
+            return jnp.asarray(8.0e-5, position.dtype)
+
+        step_mod._sweep = zero_sweep
+        step_mod.adaptive_dt = const_dt
+        try:
+            runi = make_fixed_steps_fn(cfg, reps)
+            timeit("intonly", runi, sim.state)
+        finally:
+            step_mod._sweep = real_sweep
+            step_mod.adaptive_dt = real_dt
+
+    if "dtonly" in which:
+        # the adaptive-dt chain in isolation (2 global reductions + a few
+        # elementwise passes), serialized through a carried position
+        from sphexample_tpu.ops.timestep import adaptive_dt as _adt
+
+        @jax.jit
+        def run_dt(pos0):
+            def body(i, carry):
+                pos_, acc_s = carry
+                dtv = _adt(pos_, p2.velocity, p2.acceleration,
+                           cfg.spec.constants, kern, cfg.ctx)
+                return (pos_ + 0.0 * dtv, acc_s + dtv)
+            return jax.lax.fori_loop(
+                0, reps, body, (pos0, jnp.zeros((), pos0.dtype)))[1]
+
+        timeit("dtonly", run_dt, p2.position)
 
     tables = jax.jit(
         lambda cs_: ps.make_program_tables(
