@@ -197,7 +197,14 @@ def run_case(args, geoms, meta, const, kern, viscosity, diffusion,
         if sim.hourglass is not None:
             logger.logger.info(sim.hourglass.report())
         logger.log_final(sim.state, timesteps)
-    write_paraview_state(meta)
+    if meta.visualize_in_paraview:
+        # state file only; auto-launch deliberately not replicated
+        # (reference OpenExternalPrograms.jl:65-186)
+        write_paraview_state(meta)
     if log_on:
         logger.close()
+        if meta.open_log_file:
+            # AutoOpenLogFile analog (reference OpenExternalPrograms.jl:37-52):
+            # print the path instead of launching an editor
+            print(f"[sphexample_tpu] log file: {logger.path}")
     return sim

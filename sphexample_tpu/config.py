@@ -276,11 +276,18 @@ class SimulationMetaData:
     kernel_output: KernelOutputMode = KernelOutputMode.NONE
     mdbc: MDBCMode = MDBCMode.NONE
     log: LogMode = LogMode.STORE
-    visualize_in_paraview: bool = False
+    # Generate the ParaView state file at exit (reference
+    # SimulationMetaDataConfiguration.jl:47 default true; we generate the
+    # state file but never auto-launch ParaView - see io/paraview.py).
+    visualize_in_paraview: bool = True
     export_single_vtkhdf: bool = True
     export_grid_cells: bool = False
     output_variables: Tuple[str, ...] = DEFAULT_OUTPUT_VARIABLES
-    open_log_file: bool = False
+    # Surface the log-file path at exit (reference AutoOpenLogFile,
+    # OpenExternalPrograms.jl:37-52, default true at
+    # SimulationMetaDataConfiguration.jl:65; auto-launching an editor is
+    # deliberately not replicated - we print the path instead).
+    open_log_file: bool = True
     # --- TPU-native knobs (no reference equivalent) ---
     dtype: str = "float32"  # state dtype; "float64" for x64 parity runs
     grid_margin_cells: int = 6  # static-grid padding around initial extent

@@ -347,7 +347,10 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
             sim.n_live + cwin + 128,
             sim.n_live + 256,
         )
-        new_cap = -(-new_cap // 128) * 128
+        # 512-multiple like assemble_simulation: keeps the block count
+        # divisible by the SPH_BLOCK_BPB=2/4 settings after a mid-run retune
+        # (128 rounding silently dropped post-retune segments to bpb=1)
+        new_cap = -(-new_cap // 512) * 512
         ct_cap = cfg.ct_cap
         if ct_cap:
             # chunk overflow (or a grown cover after the window growth):

@@ -172,7 +172,35 @@ def resume_simulation(sim, path: str):
             sim.state.particles.capacity):
         from ..parallel.mesh import pad_capacity
 
-        sim.state = pad_capacity(sim.state, int(data["capacity"]))
+        cap = int(data["capacity"])
+        sim.state = pad_capacity(sim.state, cap)
+        if getattr(sim.cfg, "use_pallas", False):
+            # cfg-less checkpoint (save_checkpoint cfg=None) on a Pallas sim:
+            # the program/block tables are shaped by capacity, so leaving
+            # them at the old size makes the interval trace fail with a
+            # lax.cond branch-shape mismatch - re-init like the cfg-aware
+            # branch, and re-jit through a fresh Simulation
+            from ..core.driver import Simulation
+
+            state = sim.state
+            if sim.cfg.ct_cap:
+                from ..ops.pallas_block_sweep import init_block_tables
+
+                state = state.replace(
+                    block_tables=init_block_tables(cap, sim.cfg.ct_cap)
+                )
+            else:
+                from ..ops.pallas_sweep import init_program_tables, sweep_rows
+
+                state = state.replace(
+                    pallas_tables=init_program_tables(
+                        sim.cfg.grid, sim.cfg.maxc,
+                        sweep_rows(sim.cfg.mpc), cap,
+                    )
+                )
+            sim = Simulation(
+                cfg=sim.cfg, state=state, meta=sim.meta, n_live=sim.n_live
+            )
 
     sim.state, start_counter = load_checkpoint(path, sim.state)
     return sim, start_counter

@@ -85,8 +85,24 @@ UNROLL = 1
 # (2M particles single-chip / per extended slab); CH=256 packs 8+8+16 ->
 # 2^19.  The driver falls back to the cell-pair kernel beyond it
 # (assemble_simulation / _retune).
-S_BITS = (CH - 1).bit_length()
-BLOCK_CAP_LIMIT = 1 << (35 - 2 * S_BITS)
+#
+# The widths are derived from the CURRENT module CH at *call* time (the
+# table builder, the kernel builder and the capacity checks all go through
+# these helpers), so a test that monkeypatches ``pbs.CH`` gets a consistent
+# encode/decode - the import-time constants below exist for external
+# importers (driver/mesh sizing) and match the env-configured CH.
+
+
+def _enc_bits() -> int:
+    return (CH - 1).bit_length()
+
+
+def _cap_limit() -> int:
+    return 1 << (35 - 2 * _enc_bits())
+
+
+S_BITS = _enc_bits()
+BLOCK_CAP_LIMIT = _cap_limit()
 # Lane groups per block: selves are split at the first (y,z)-row boundary
 # and each group gets its own tight cover (a block straddling a row boundary
 # otherwise unions the x-extents of both rows - measured 23% of blocks
@@ -319,11 +335,12 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     # for the field economics).  Dead (padding) entries are 0 - they are
     # DMA'd during warm-up (offset 0, harmless) but never decoded for
     # compute.
+    s_bits = _enc_bits()
     code = jnp.bitwise_or(
         jnp.bitwise_or(
-            vstart, jnp.left_shift(jnp.maximum(vend - 1, 0), S_BITS)
+            vstart, jnp.left_shift(jnp.maximum(vend - 1, 0), s_bits)
         ),
-        jnp.left_shift(off8 // 8, 2 * S_BITS),
+        jnp.left_shift(off8 // 8, 2 * s_bits),
     )
     tab = jnp.where(dead, 0, code)
 
@@ -493,6 +510,7 @@ def pack_block_fields(position, velocity, density, pressure, ml, tables,
 
 
 def _make_block_kernel(spec: PhysicsSpec, dims, maxb, bpb=1):
+    s_bits = _enc_bits()  # captured at kernel-build time, tracks CH
     want_kernel = spec.kernel_output is KernelOutputMode.STORE
     want_shift = spec.shifting is ShiftingMode.PLANAR
     nfields = 2 * dims + 3
@@ -531,7 +549,7 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb, bpb=1):
             # (the sign bit is data - decode with logical shifts)
             off8 = pl.multiple_of(
                 jax.lax.shift_right_logical(
-                    chunk_tab_ref[g], jnp.int32(2 * S_BITS)
+                    chunk_tab_ref[g], jnp.int32(2 * s_bits)
                 ) * 8, 8
             )
             return pltpu.make_async_copy(
@@ -627,10 +645,10 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb, bpb=1):
 
                 # decode vstart | vend-1 | off8/8 (S_BITS/S_BITS/rest)
                 v = chunk_tab_ref[g]
-                fmask = jnp.int32((1 << S_BITS) - 1)
+                fmask = jnp.int32((1 << s_bits) - 1)
                 vs = jnp.bitwise_and(v, fmask)
                 ve = jnp.bitwise_and(
-                    jax.lax.shift_right_logical(v, jnp.int32(S_BITS)),
+                    jax.lax.shift_right_logical(v, jnp.int32(s_bits)),
                     fmask) + 1
                 buf = cand_buf[slot]                        # [CH, 128]
 
@@ -747,12 +765,12 @@ def pallas_block_sweep(
     cap = position.shape[0]
     if cap % BLOCK != 0:
         raise ValueError(f"capacity {cap} must be a multiple of {BLOCK}")
-    if cap < CH + 8 or cap > BLOCK_CAP_LIMIT:
+    if cap < CH + 8 or cap > _cap_limit():
         # off8/8 must fit the packed code's offset field; beyond it
         # (~2M rows at CH=128) the driver uses the cell-pair kernel (or shard over
         # a mesh: parallel.shard_simulation)
         raise ValueError(f"capacity {cap} out of the supported range "
-                         f"[{CH + 8}, {BLOCK_CAP_LIMIT}]")
+                         f"[{CH + 8}, {_cap_limit()}]")
     maxb = n_blocks(cap)
 
     if tables is None:
@@ -854,10 +872,10 @@ def pallas_block_sweep_sharded(
         raise ValueError(f"local capacity {C} and halo {H} must be multiples of 128")
     dims = position.shape[1]
     n_ext = C + 2 * H
-    if n_ext < CH or n_ext > BLOCK_CAP_LIMIT:
+    if n_ext < CH or n_ext > _cap_limit():
         # off8/8 must fit the packed chunk code's offset field
         raise ValueError(f"extended window {n_ext} out of the supported "
-                         f"range [{CH}, {BLOCK_CAP_LIMIT}]")
+                         f"range [{CH}, {_cap_limit()}]")
     if ctx.num_devices * C > 2 ** 24:
         # the packed sorted index / own-cell bounds are exact f32 integers
         # only below 2^24 GLOBAL rows; beyond that the role quirk and the

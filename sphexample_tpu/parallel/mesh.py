@@ -237,6 +237,23 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
         else:
             halo = 0  # slabs thinner than the stencil reach: 1 hop can't cover
 
+        from ..config import MDBCMode as _MDBC
+
+        if halo > 0 and sim.meta.mdbc is _MDBC.SIMPLE:
+            # the fused sharded mDBC kernel (ops/pallas_mdbc.py) requires the
+            # halo-extended window to hold one candidate DMA window:
+            # C + 2*halo >= cseg + 128.  Thin slabs that violate it used to
+            # die with a trace-time ValueError deep in the kernel; grow the
+            # halo to cover (it is bounded by C, the 1-hop exchange width),
+            # else fall back to the all-gather path like the sweeps do.
+            mdbc_need = cfg0.cseg + 128
+            if C + 2 * halo < mdbc_need:
+                grown = r128(-(-(mdbc_need - C) // 2))
+                if grown <= C:
+                    halo = grown
+                else:
+                    halo = 0  # slab too thin for the mDBC window: all-gather
+
     # Per-device chunk-table capacity for the sharded BLOCK sweep: sized from
     # the per-slab cover estimates with 2x headroom (max over devices - the
     # tables are equal-shaped so slabs stay exchangeable across retunes), the

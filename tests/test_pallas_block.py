@@ -355,6 +355,12 @@ def test_block_sweep_ch_override_parity(ch):
     pbs_mod.CH = ch
     pbs_mod.pallas_block_sweep.clear_cache()
     try:
+        # the encoding field widths follow the patched CH at call time
+        # (_enc_bits): 8-bit validity fields at CH=192/256 vs the
+        # production default's 7 - the builder, mirror and kernel must all
+        # agree on the widened layout
+        s = pbs_mod._enc_bits()
+        assert s == 8
         const, kern, grid, p, cs = _setup(3)
         t = pbs_mod.make_block_tables(cs, p.cell, p.active, grid,
                                       p.capacity, 8192)
@@ -362,6 +368,50 @@ def test_block_sweep_ch_override_parity(ch):
             np.asarray(p.position[np.asarray(p.active)]), kern.H_inv, grid,
             p.capacity)
         assert est == int(t.chunk_total)
+        spec = PhysicsSpec(constants=const, kernel=kern,
+                           viscosity=ViscosityModel.ARTIFICIAL,
+                           diffusion=DensityDiffusionModel.LINEAR)
+        ref = pair_sweep(spec, grid, 512, 64, p, cs, p.position, p.density,
+                         p.pressure, p.velocity)
+        out = pbs_mod.pallas_block_sweep(spec, grid, 8192, p, cs, p.position,
+                                         p.density, p.pressure, p.velocity,
+                                         interpret=True)
+        _compare(out, ref)
+    finally:
+        pbs_mod.CH = old
+        pbs_mod.pallas_block_sweep.clear_cache()
+
+
+def test_block_sweep_ch256_vend_saturation():
+    """At CH=256 the 8-bit validity fields must actually saturate: a dense
+    cluster crowded into ~one cell produces runs longer than 128 rows, so
+    chunks carry vend in (128, 256] - the band the 7-bit production encoding
+    cannot represent.  The original CH-override fixture never produced
+    vend > 128, so a silent 7-bit truncation would have passed (advisor
+    finding, round 3)."""
+    import sphexample_tpu.ops.pallas_block_sweep as pbs_mod
+
+    old = pbs_mod.CH
+    pbs_mod.CH = 256
+    pbs_mod.pallas_block_sweep.clear_cache()
+    try:
+        rng = np.random.default_rng(13)
+        const = SimulationConstants(dx=0.05, cfl=0.5)
+        kern = make_kernel(KernelFamily.WENDLAND_C2, 3, dx=const.dx)
+        n = 420  # one ~H-wide blob: single-cell runs of length ~n
+        pos = rng.uniform(-0.05, 0.05, (n, 3))
+        dens = rng.uniform(990, 1040, n)
+        vel = rng.normal(0, 0.5, (n, 3))
+        grid, p, cs = _assemble(pos, dens, vel, const, kern, 512)
+
+        t = pbs_mod.make_block_tables(cs, p.cell, p.active, grid,
+                                      p.capacity, 8192)
+        total = int(t.chunk_total)
+        s = pbs_mod._enc_bits()
+        u = np.asarray(t.chunk_tab[:total], dtype=np.int64) & 0xFFFFFFFF
+        ve = ((u >> s) & ((1 << s) - 1)) + 1
+        assert int(ve.max()) > 128, "fixture failed to force long runs"
+
         spec = PhysicsSpec(constants=const, kernel=kern,
                            viscosity=ViscosityModel.ARTIFICIAL,
                            diffusion=DensityDiffusionModel.LINEAR)
@@ -522,7 +572,7 @@ def test_block_tables_match_host_mirror(dims, seed):
                                   p.capacity, ct_cap)
     total = int(t.chunk_total)
     assert 0 < total < ct_cap
-    S = pbs_mod.S_BITS
+    S = pbs_mod._enc_bits()
     u = np.asarray(t.chunk_tab[:total], dtype=np.int64) & 0xFFFFFFFF
     off8 = (u >> (2 * S)) * 8
     vs = u & ((1 << S) - 1)

@@ -365,8 +365,8 @@ def main():
             # after zeroing the output block (no DMA, no chunk loop)
             real_mk = pbs._make_block_kernel
 
-            def launch_mk(spec, dims, maxb):
-                kernel, n_keys, k_pad = real_mk(spec, dims, maxb)
+            def launch_mk(spec, dims, maxb, bpb=1):
+                kernel, n_keys, k_pad = real_mk(spec, dims, maxb, bpb)
 
                 def lk(prog_start_ref, prog_mid_ref, chunk_tab_ref, self_blk,
                        packedT_hbm, out_blk, cand_buf, acc_ref, sem):
