@@ -18,46 +18,7 @@ from sphexample_tpu.ops.interactions import PhysicsSpec
 from sphexample_tpu.ops.mdbc import mdbc_density_correction
 from sphexample_tpu.state import allocate_particles
 
-from reference_impl import wendland_grad_w, wendland_w
-
-
-def brute_force_mdbc(kern, const, cells, pos, dens, ptype, ghost, H_inv):
-    """Full-stencil fluid-neighbor moment accumulation + det/Shepard branch."""
-    n, dims = pos.shape
-    dp = dims + 1
-    out = dens.copy()
-    gcells = (np.sign(ghost) * np.trunc(np.abs(ghost) * H_inv + 0.5)).astype(np.int64)
-    for i in range(n):
-        if not np.any(ghost[i] != 0):
-            continue
-        b = np.zeros(dp)
-        A = np.zeros((dp, dp))
-        for j in range(n):
-            if ptype[j] != 1:  # fluid only
-                continue
-            if np.max(np.abs(cells[j] - gcells[i])) > 1:
-                continue
-            xij = ghost[i] - pos[j]
-            d2 = float(xij @ xij)
-            if d2 > kern.H2:
-                continue
-            q = min(np.sqrt(d2) * kern.h_inv, 2.0)
-            w = wendland_w(kern.alpha_d, q)
-            gw = wendland_grad_w(kern.alpha_d, kern.h, q, xij)
-            vj = const.m0 / dens[j]
-            b += np.concatenate([[const.m0 * w], const.m0 * gw])
-            fc = np.concatenate([[vj * w], vj * gw])
-            e = np.concatenate([[1.0], -xij])
-            A += np.outer(fc, e)
-        if abs(np.linalg.det(A)) >= 1e-3:
-            sol = np.linalg.solve(A, b)
-            diff = pos[i] - ghost[i]
-            v = sol[0] + float(sol[1:] @ diff)
-            out[i] = const.rho0 if np.isnan(v) else v
-        elif A[0, 0] > 0:
-            v = b[0] / A[0, 0]
-            out[i] = const.rho0 if np.isnan(v) else v
-    return out
+from reference_impl import brute_force_mdbc
 
 
 @pytest.mark.parametrize("dims", [2, 3])
