@@ -116,6 +116,23 @@ NG = 2
 # unchanged).  Env-overridable for hardware A/B sweeps; falls back to 1
 # when the block count is not divisible.
 BPB = int(_os.environ.get("SPH_BLOCK_BPB", "1"))
+# SMEM chunk-table budget in words: the scalar-prefetch chunk_tab must fit
+# the ~1 MB scoped-SMEM cap alongside prog_start/prog_mid (measured: a
+# 1.56 MB table at 1.3M particles fails Mosaic allocation).  Bigger tables
+# run as a PARTITIONED launch - the program range splits into
+# ceil(ct_cap / TAB_BUDGET) static parts, each kernel call getting a
+# TAB_BUDGET-word dynamic slice of the table with prog_start rebased to it
+# (pure host/XLA-side restructuring; the kernel body is unchanged and the
+# chunk stream inside each part keeps its global order, so per-chunk f32
+# summation order is identical to an unpartitioned launch).  This lifts the
+# block path's single-chip ceiling from ~800k particles (SMEM) to the
+# 2^21-row chunk-word encoding limit.
+TAB_BUDGET = int(_os.environ.get("SPH_BLOCK_TAB_BUDGET", str(192 * 1024)))
+
+
+def n_tab_parts(ct_cap: int) -> int:
+    """Number of kernel launches needed for a ct_cap-word chunk table."""
+    return max(1, -(-ct_cap // TAB_BUDGET))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -343,6 +360,27 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
         jnp.left_shift(off8 // 8, 2 * s_bits),
     )
     tab = jnp.where(dead, 0, code)
+
+    # Partitioned-launch telemetry: with G = n_tab_parts(ct_cap) > 1 every
+    # part must fit its chunks inside one TAB_BUDGET-word table slice.  The
+    # overflow demand folds into chunk_total (the retune signal): growing
+    # ct_cap decisively raises G, shrinking the per-part ranges, so the
+    # existing grow-and-replay loop converges for skewed covers too.
+    G = n_tab_parts(ct_cap)
+    if G > 1:
+        nb = -(-maxb // G)
+        bounds = np.minimum(np.arange(G + 1, dtype=np.int64) * nb, maxb)
+        cs_b = jax.lax.rem(prog_start[jnp.asarray(bounds)],
+                           jnp.int32(16777216))
+        part_need = jnp.max(cs_b[1:] - cs_b[:-1])
+        # only inflate on a REAL per-part overflow (a part's chunks exceed
+        # its TAB_BUDGET slice): part_need * G > TAB_BUDGET * G >= ct_cap
+        # then trips the existing max_chunks retune, which grows ct_cap ->
+        # more parts -> smaller ranges.  Without overflow, chunk_total stays
+        # the exact raw chunk count (host mirrors compare it exactly).
+        total = jnp.where(part_need > TAB_BUDGET,
+                          jnp.maximum(total, (part_need * G).astype(jnp.int32)),
+                          total)
 
     return BlockTables(
         prog_start=prog_start,
@@ -797,40 +835,83 @@ def _invoke_block_kernel(spec, dims, maxb, tables, packed_self, packedT_hbm,
     """Launch the block kernel: selves = ``maxb`` 128-lane slices of the
     lane-major pack, candidates DMA'd from the row-major pack (which may be
     longer than the selves - the sharded halo-extended window).  ``BPB``
-    blocks share one grid program when the block count divides."""
-    bpb = BPB if BPB > 1 and maxb % BPB == 0 else 1
+    blocks share one grid program when the block count divides.
+
+    Chunk tables beyond ``TAB_BUDGET`` words run as a partitioned launch
+    (one kernel call per static program range, each with a rebased
+    TAB_BUDGET-word slice of the table) - the SMEM scalar-prefetch cap
+    otherwise rejects the table outright at ~800k+ particles."""
+    ct_cap = tables.chunk_tab.shape[0]
+    G = n_tab_parts(ct_cap)
+    bpb = BPB if BPB > 1 and G == 1 and maxb % BPB == 0 else 1
     if bpb != BPB:
         # trace-time warning (fires once per compile): a silent fallback
         # would mislabel chip A/B measurements as the requested BPB
         import sys
 
-        print(f"[sphexample_tpu] SPH_BLOCK_BPB={BPB} ignored: {maxb} blocks "
-              f"not divisible - running bpb=1", file=sys.stderr)
-    kernel, n_keys, k_pad = _make_block_kernel(spec, dims, maxb, bpb)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(maxb // bpb,),
-        in_specs=[
-            pl.BlockSpec((16, BLOCK * bpb), lambda b, *_: (0, b)),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=(pl.BlockSpec((k_pad, BLOCK * bpb), lambda b, *_: (0, b)),),
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, CH, 128), jnp.float32),
-            pltpu.VMEM((bpb, n_keys, 8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-        ],
+        print(f"[sphexample_tpu] SPH_BLOCK_BPB={BPB} ignored: "
+              f"{'partitioned launch' if G > 1 else f'{maxb} blocks not divisible'}"
+              " - running bpb=1", file=sys.stderr)
+
+    def launch(nb_g, ps_g, mid_g, tab_g, self_map):
+        kernel, n_keys, k_pad = _make_block_kernel(spec, dims, nb_g, bpb)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb_g // bpb,),
+            in_specs=[
+                pl.BlockSpec((16, BLOCK * bpb), self_map),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=(
+                pl.BlockSpec((k_pad, BLOCK * bpb), lambda b, *_: (0, b)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((NBUF, CH, 128), jnp.float32),
+                pltpu.VMEM((bpb, n_keys, 8, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ],
+        )
+        (out,) = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((k_pad, nb_g * BLOCK), jnp.float32),
+            ),
+            interpret=interpret,
+        )(ps_g, mid_g, tab_g, packed_self, packedT_hbm)
+        return out
+
+    if G == 1:
+        return launch(maxb, tables.prog_start, tables.prog_mid,
+                      tables.chunk_tab, lambda b, *_: (0, b))
+
+    # Partitioned launch: static block ranges; each part's table slice
+    # starts at its first chunk (prog_start rebased by subtracting it -
+    # safe on the packed words: the low-24 chunk field only shrinks, the
+    # cut byte is untouched).  The table is padded with TAB_BUDGET zero
+    # words so the trailing part's dynamic slice never clamps (a clamp
+    # would silently shift chunk indices against the slice).
+    M24 = jnp.int32(16777216)
+    nb = -(-maxb // G)
+    tab_padded = jnp.concatenate(
+        [tables.chunk_tab, jnp.zeros((TAB_BUDGET,), jnp.int32)]
     )
-    (out,) = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((k_pad, maxb * BLOCK), jnp.float32),),
-        interpret=interpret,
-    )(
-        tables.prog_start, tables.prog_mid, tables.chunk_tab,
-        packed_self, packedT_hbm,
-    )
-    return out
+    outs = []
+    for g in range(G):
+        b0 = g * nb
+        b1 = min(b0 + nb, maxb)
+        if b0 >= b1:
+            break
+        nb_g = b1 - b0
+        start = jax.lax.rem(tables.prog_start[b0], M24)
+        ps_g = tables.prog_start[b0:b1 + 1] - start
+        mid_g = tables.prog_mid[b0:b1] - start
+        tab_g = jax.lax.dynamic_slice(tab_padded, (start,), (TAB_BUDGET,))
+        outs.append(
+            launch(nb_g, ps_g, mid_g, tab_g,
+                   lambda b, *_, _b0=b0: (0, _b0 + b))
+        )
+    return jnp.concatenate(outs, axis=1)
 
 
 def pallas_block_sweep_sharded(

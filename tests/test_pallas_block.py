@@ -98,16 +98,22 @@ def _compare(out, ref):
 @pytest.mark.parametrize(
     "visc,diff,family",
     [
+        # headline combo stays in the fast lane; the rest of the matrix is
+        # @slow (30s-class interpret runs) and runs in the pre-bench full lane
         (ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
          KernelFamily.WENDLAND_C2),
-        (ViscosityModel.LAMINAR_SPS, DensityDiffusionModel.ZERO_GRAVITY_LINEAR,
-         KernelFamily.WENDLAND_C2),
-        (ViscosityModel.ZERO, DensityDiffusionModel.ZERO,
-         KernelFamily.WENDLAND_C2),
-        (ViscosityModel.ARTIFICIAL, DensityDiffusionModel.COMPLEX,
-         KernelFamily.WENDLAND_C2),
-        (ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
-         KernelFamily.CUBIC_SPLINE),
+        pytest.param(
+            ViscosityModel.LAMINAR_SPS, DensityDiffusionModel.ZERO_GRAVITY_LINEAR,
+            KernelFamily.WENDLAND_C2, marks=pytest.mark.slow),
+        pytest.param(
+            ViscosityModel.ZERO, DensityDiffusionModel.ZERO,
+            KernelFamily.WENDLAND_C2, marks=pytest.mark.slow),
+        pytest.param(
+            ViscosityModel.ARTIFICIAL, DensityDiffusionModel.COMPLEX,
+            KernelFamily.WENDLAND_C2, marks=pytest.mark.slow),
+        pytest.param(
+            ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+            KernelFamily.CUBIC_SPLINE, marks=pytest.mark.slow),
     ],
 )
 def test_block_sweep_matches_xla(dims, visc, diff, family):
@@ -179,6 +185,40 @@ def test_block_sweep_crowded_cells():
         p.position, p.density, p.pressure, p.velocity, interpret=True,
     )
     _compare(out, ref)
+
+
+def test_block_sweep_partitioned_tables(monkeypatch):
+    """Chunk tables beyond TAB_BUDGET words run as a partitioned launch
+    (one kernel call per program range, rebased table slices) and must match
+    the XLA sweep bitwise-structurally - the >800k-particle SMEM path,
+    exercised here by shrinking the budget instead of the particle count."""
+    const, kern, grid, p, cell_start = _setup(3, n=400, capacity=1024)
+    spec = PhysicsSpec(
+        constants=const, kernel=kern, viscosity=ViscosityModel.ARTIFICIAL,
+        diffusion=DensityDiffusionModel.LINEAR,
+        shifting=ShiftingMode.PLANAR, kernel_output=KernelOutputMode.STORE,
+    )
+    ref = pair_sweep(spec, grid, 512, 64, p, cell_start,
+                     p.position, p.density, p.pressure, p.velocity)
+    monkeypatch.setattr(pbs, "TAB_BUDGET", 192)
+    pbs.pallas_block_sweep.clear_cache()
+    try:
+        assert pbs.n_tab_parts(2048) > 1
+        out = pbs.pallas_block_sweep(
+            spec, grid, 2048, p, cell_start,
+            p.position, p.density, p.pressure, p.velocity, interpret=True,
+        )
+    finally:
+        pbs.pallas_block_sweep.clear_cache()
+    _compare(out, ref)
+    # telemetry folds the per-part budget demand: the partitioned build must
+    # report at least the raw chunk need (and more when parts skew)
+    bt_part = pbs.make_block_tables(cell_start, p.cell, p.active, grid,
+                                    1024, 2048)
+    monkeypatch.setattr(pbs, "TAB_BUDGET", 192 * 1024)
+    bt_full = pbs.make_block_tables(cell_start, p.cell, p.active, grid,
+                                    1024, 2048)
+    assert int(bt_part.chunk_total) >= int(bt_full.chunk_total)
 
 
 def test_block_tables_overflow_telemetry():
@@ -286,6 +326,7 @@ def _live_by_id(state):
     return order[ids[order] > 0]
 
 
+@pytest.mark.slow
 def test_block_step_trajectory_matches_xla(tmp_path):
     """Full driver intervals on the block path (interpret) vs the XLA step
     path: the trajectory must agree to f32-kernel tolerance (the block
@@ -313,6 +354,7 @@ def test_block_step_trajectory_matches_xla(tmp_path):
     assert int(sim_b.state.max_chunks) > 0  # telemetry rode the rebuilds
 
 
+@pytest.mark.slow
 def test_block_retune_on_chunk_overflow(tmp_path):
     """An undersized chunk table must be detected by the max_chunks
     telemetry and recovered by a decisive retune + replay (the truncated
@@ -342,6 +384,7 @@ def test_block_retune_on_chunk_overflow(tmp_path):
     assert float(sim.state.total_time) > 0.0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ch", [192, 256])
 def test_block_sweep_ch_override_parity(ch):
     """CH is tunable (env SPH_BLOCK_CH; chunk word supports <= 256): pin the
@@ -382,6 +425,7 @@ def test_block_sweep_ch_override_parity(ch):
         pbs_mod.pallas_block_sweep.clear_cache()
 
 
+@pytest.mark.slow
 def test_block_sweep_ch256_vend_saturation():
     """At CH=256 the 8-bit validity fields must actually saturate: a dense
     cluster crowded into ~one cell produces runs longer than 128 rows, so
@@ -426,6 +470,7 @@ def test_block_sweep_ch256_vend_saturation():
         pbs_mod.pallas_block_sweep.clear_cache()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bpb", [2, 4])
 def test_block_sweep_bpb_override_parity(bpb):
     """BPB (blocks per grid program, env SPH_BLOCK_BPB) amortizes the
@@ -510,6 +555,7 @@ def test_block_tables_wide_offsets_beyond_2pow19():
     np.testing.assert_array_equal(ve, np.asarray([w[2] for w in wins]))
 
 
+@pytest.mark.slow
 def test_block_sweep_unroll_override_parity():
     """UNROLL=2 (manual chunk-loop unroll: full groups of 2, rolled
     remainder) must visit exactly the same chunks in the same order - pin it
@@ -535,6 +581,7 @@ def test_block_sweep_unroll_override_parity():
         pbs_mod.pallas_block_sweep.clear_cache()
 
 
+@pytest.mark.slow
 def test_block_sweep_bpb_unroll_combined_parity():
     """BPB=2 x UNROLL=2 together (the likely post-A/B production combo):
     per-half manual unroll loops with per-block acc slots."""
