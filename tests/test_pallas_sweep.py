@@ -55,19 +55,25 @@ def _setup(dims, n=220, seed=3, capacity=1024, family=KernelFamily.WENDLAND_C2):
 @pytest.mark.parametrize(
     "visc,diff,family",
     [
+        # headline combo stays in the fast lane; the rest of the matrix is
+        # @slow (30s-class interpret runs) and runs in the pre-bench full lane
         (ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
          KernelFamily.WENDLAND_C2),
-        (ViscosityModel.LAMINAR_SPS, DensityDiffusionModel.ZERO_GRAVITY_LINEAR,
-         KernelFamily.WENDLAND_C2),
-        (ViscosityModel.ZERO, DensityDiffusionModel.ZERO,
-         KernelFamily.WENDLAND_C2),
+        pytest.param(
+            ViscosityModel.LAMINAR_SPS, DensityDiffusionModel.ZERO_GRAVITY_LINEAR,
+            KernelFamily.WENDLAND_C2, marks=pytest.mark.slow),
+        pytest.param(
+            ViscosityModel.ZERO, DensityDiffusionModel.ZERO,
+            KernelFamily.WENDLAND_C2, marks=pytest.mark.slow),
         # COMPLEX exercises the inverse-EOS 7th-root branch; the cubic spline
         # exercises the tensile-correction branch — both are independently
         # re-expressed inside pallas_sweep._pair_math and must be pinned.
-        (ViscosityModel.ARTIFICIAL, DensityDiffusionModel.COMPLEX,
-         KernelFamily.WENDLAND_C2),
-        (ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
-         KernelFamily.CUBIC_SPLINE),
+        pytest.param(
+            ViscosityModel.ARTIFICIAL, DensityDiffusionModel.COMPLEX,
+            KernelFamily.WENDLAND_C2, marks=pytest.mark.slow),
+        pytest.param(
+            ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+            KernelFamily.CUBIC_SPLINE, marks=pytest.mark.slow),
     ],
 )
 def test_pallas_matches_xla_sweep(dims, visc, diff, family):

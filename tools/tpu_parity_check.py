@@ -11,7 +11,16 @@ shifts (off by exactly -128) silently corrupted the sweep for any candidate
 segment not starting 128-aligned - every interpret-mode parity test passed
 while simulated fluid fell through the tank floor.  This check is the guard.
 
-Usage: python tools/tpu_parity_check.py [--dx 0.02]
+Usage: python tools/tpu_parity_check.py [--dx 0.02] [--full]
+
+``--full`` extends the gate beyond the headline ARTIFICIAL+LINEAR config to
+every distinct pair-math code path family - LaminarSPS (SPHViscosityModels.
+jl:90-126) with PlanarShifting (SPHCellList.jl:654-677) and kernel STORE,
+COMPLEX diffusion (SPHDensityDiffusionModels.jl:148-188), cubic spline +
+tensile correction (SPHKernels.jl:89-126), and Zero/Zero - each compiled on
+hardware for BOTH Pallas kernels.  The cell-pair kernel costs minutes of
+Mosaic compile per config, so the full matrix is opt-in; run it whenever
+``_pair_math`` or the kernel scaffolds change.
 """
 
 from __future__ import annotations
@@ -30,12 +39,16 @@ def main():
     ap.add_argument("--dx", type=float, default=0.02)
     ap.add_argument("--atol", type=float, default=1e-2,
                     help="max |pallas - xla| on drhodt (fp32 order noise)")
+    ap.add_argument("--full", action="store_true",
+                    help="cover every visc/diff/shifting/kernel family "
+                         "(minutes of extra Mosaic compile time)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from sphexample_tpu import (DensityDiffusionModel, KernelFamily,
+                                KernelOutputMode, ShiftingMode,
                                 SimulationConstants, SimulationMetaData,
                                 ViscosityModel, assemble_simulation,
                                 make_kernel)
@@ -63,30 +76,90 @@ def main():
                   pressure=jnp.zeros_like(p.pressure))
     p2, cs, _ = jax.jit(lambda pp: cl.rebuild(pp, kern.H_inv, sim.cfg.grid))(p)
 
-    # block kernel (single-chip hot path) AND the cell-pair kernel (still
-    # the sharded-halo path) - both compiled, both against the XLA sweep
-    o_b = _sweep(sim.cfg, p2, cs, p2.position, p2.density, p2.pressure,
-                 p2.velocity, 0)
-    o_p = _sweep(dataclasses.replace(sim.cfg, ct_cap=0),
-                 p2, cs, p2.position, p2.density, p2.pressure, p2.velocity, 0)
-    o_x = _sweep(dataclasses.replace(sim.cfg, use_pallas=False),
-                 p2, cs, p2.position, p2.density, p2.pressure, p2.velocity, 0)
+    ok = _config_parity(sim.cfg, p2, cs, args.atol, tag="headline")
 
-    ok = True
-    for tag, o_k in (("block", o_b), ("cellpair", o_p)):
-        for name, a, b in (("drhodt", o_k.drhodt, o_x.drhodt),
-                           ("acceleration", o_k.acceleration, o_x.acceleration)):
-            d = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
-            nz_p = int((np.abs(np.asarray(a)) > 1e-12).sum())
-            nz_x = int((np.abs(np.asarray(b)) > 1e-12).sum())
-            line_ok = d <= args.atol and abs(nz_p - nz_x) < 0.05 * max(nz_x, 1)
-            ok &= line_ok
-            print(f"{tag} {name}: maxdiff={d:.3e} nonzero pallas/xla="
-                  f"{nz_p}/{nz_x} {'OK' if line_ok else 'FAIL'}")
+    if args.full:
+        from sphexample_tpu.models import equations as eq
+
+        # richer operands so every term is exercised: jittered velocities and
+        # EOS pressures from perturbed densities (tensile + diffusion need
+        # nonzero P and rho != rho0)
+        rng = np.random.default_rng(3)
+        dtype = p2.velocity.dtype
+        vel_r = jnp.asarray(
+            rng.normal(0, 0.2, size=p2.velocity.shape), dtype=dtype)
+        dens_r = jnp.asarray(
+            np.asarray(p2.density) * rng.uniform(0.995, 1.01, size=p2.density.shape),
+            dtype=dtype)
+        p3 = p2.replace(
+            velocity=jnp.where(p2.active[:, None], vel_r, 0.0),
+            density=jnp.where(p2.active, dens_r, p2.density),
+        )
+        p3 = p3.replace(pressure=jnp.where(
+            p3.active, eq.pressure(p3.density, const), 0.0))
+        spec0 = sim.cfg.spec
+        kern_cubic = make_kernel(KernelFamily.CUBIC_SPLINE, 3, h=kern.h)
+        FAMILIES = [
+            ("sps_shift_store", dataclasses.replace(
+                spec0, viscosity=ViscosityModel.LAMINAR_SPS,
+                diffusion=DensityDiffusionModel.COMPLEX,
+                shifting=ShiftingMode.PLANAR,
+                kernel_output=KernelOutputMode.STORE)),
+            ("cubic_tensile", dataclasses.replace(
+                spec0, kernel=kern_cubic,
+                viscosity=ViscosityModel.LAMINAR,
+                diffusion=DensityDiffusionModel.ZERO_GRAVITY_LINEAR)),
+            ("zero_zero", dataclasses.replace(
+                spec0, viscosity=ViscosityModel.ZERO,
+                diffusion=DensityDiffusionModel.ZERO)),
+        ]
+        for tag, spec in FAMILIES:
+            cfg_f = dataclasses.replace(sim.cfg, spec=spec)
+            ok &= _config_parity(cfg_f, p3, cs, args.atol, tag=tag)
 
     ok &= _mdbc_parity()
     print("PARITY OK" if ok else "PARITY FAIL", file=sys.stderr)
     return 0 if ok else 1
+
+
+def _config_parity(cfg, p2, cs, atol, tag):
+    """Both compiled Pallas kernels vs the XLA sweep for one physics spec."""
+    from sphexample_tpu.core.step import _sweep
+
+    # block kernel (single-chip hot path) AND the cell-pair kernel (still
+    # the sharded-halo path) - both compiled, both against the XLA sweep
+    o_b = _sweep(cfg, p2, cs, p2.position, p2.density, p2.pressure,
+                 p2.velocity, 0)
+    o_p = _sweep(dataclasses.replace(cfg, ct_cap=0),
+                 p2, cs, p2.position, p2.density, p2.pressure, p2.velocity, 0)
+    o_x = _sweep(dataclasses.replace(cfg, use_pallas=False),
+                 p2, cs, p2.position, p2.density, p2.pressure, p2.velocity, 0)
+
+    fields = [("drhodt", lambda o: o.drhodt),
+              ("acceleration", lambda o: o.acceleration)]
+    if o_x.kernel_w is not None:
+        fields += [("kernel_w", lambda o: o.kernel_w),
+                   ("kernel_grad", lambda o: o.kernel_grad)]
+    if o_x.grad_c is not None:
+        fields += [("grad_c", lambda o: o.grad_c),
+                   ("div_r", lambda o: o.div_r)]
+
+    ok = True
+    for kname, o_k in (("block", o_b), ("cellpair", o_p)):
+        for name, get in fields:
+            a = np.asarray(get(o_k))
+            b = np.asarray(get(o_x))
+            d = float(np.max(np.abs(a - b)))
+            # fp32 summation-order noise scales with the field magnitude
+            # (EOS pressures push |acc| to ~1e2 in the full-matrix configs)
+            tol = max(atol, 2e-4 * float(np.max(np.abs(b))))
+            nz_p = int((np.abs(a) > 1e-12).sum())
+            nz_x = int((np.abs(b) > 1e-12).sum())
+            line_ok = d <= tol and abs(nz_p - nz_x) < 0.05 * max(nz_x, 1)
+            ok &= line_ok
+            print(f"{tag} {kname} {name}: maxdiff={d:.3e} nonzero pallas/xla="
+                  f"{nz_p}/{nz_x} {'OK' if line_ok else 'FAIL'}")
+    return ok
 
 
 def _mdbc_parity():
