@@ -92,6 +92,20 @@ def main():
     print(f"# n={n} mpc={cfg.mpc} cseg={cfg.cseg} maxc={cfg.maxc} reps={reps}",
           file=sys.stderr)
 
+    # Per-call transport tax (measured ~28 ms over the axon tunnel, r4):
+    # every probe below is ONE device call, so its ms/iter figure includes
+    # callfloor/reps (~0.9 ms at reps=30).  Printed so readers can correct.
+    @jax.jit
+    def _nop(x):
+        return x + 1.0
+
+    sync(_nop(jnp.float32(1.0)))
+    t0 = time.perf_counter()
+    sync(_nop(jnp.float32(2.0)))
+    print(f"# callfloor: {(time.perf_counter() - t0) * 1e3:.1f} ms/device-call"
+          f" (subtract callfloor/reps from every ms/iter below)",
+          file=sys.stderr)
+
     if "step" in which:
         run = make_fixed_steps_fn(cfg, reps)
         timeit("step", run, sim.state)
@@ -308,17 +322,29 @@ def main():
         pbs.UNROLL = args.unroll
 
     if "rebuildcost" in which:
-        # amortized cell-list cost: one full rebuild (argsort + 17 gathers)
-        # and one block-table build, timed standalone.  Divide by the lazy
-        # period (~20-80 steps) for the per-step share of `nostep`.
+        # amortized cell-list cost: one full rebuild (argsort + 17 gathers +
+        # cell_start) and one block-table build, timed standalone.  Divide
+        # by the lazy period (~20-80 steps) for the per-step share of
+        # `nostep`.  NB: every output must be CONSUMED - an earlier version
+        # fed only position back and XLA dead-code-eliminated everything but
+        # one gather, reporting 0.8 ms for a 13.7 ms rebuild (r4 postmortem,
+        # PERFORMANCE.md).
         rb = jax.jit(lambda pp: cl.rebuild(pp, kern.H_inv, cfg.grid))
 
         def rb_loop(pp0):
             @jax.jit
             def run(pp):
                 def body(i, pp_):
-                    p3, cs3, _ = rb(pp_)
-                    return pp_.replace(position=p3.position + 0.0)
+                    p3, cs3, occ3 = rb(pp_)
+                    # consume the full sorted pytree + cell_start + occ so
+                    # nothing is DCE'd: fold a scalar from every leaf into
+                    # a position perturbation that cannot be constant-folded
+                    leaves = [a.reshape(-1)[0].astype(jnp.float32)
+                              for a in jax.tree.leaves(p3)]
+                    s = sum(leaves) + cs3[0] + occ3
+                    return pp_.replace(
+                        position=p3.position + 0.0 * s.astype(p3.position.dtype)
+                    )
                 return jax.lax.fori_loop(0, reps, body, pp)
             return run
         timeit("rebuild", rb_loop(p), p)
