@@ -199,8 +199,9 @@ def main():
     ap.add_argument("--block-size", type=int, default=512)
     ap.add_argument("--pallas", action="store_true", default=None)
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
-    ap.add_argument("--scale-dx", type=float, default=0.006,
-                    help="second measurement at this dx (~430k particles); "
+    ap.add_argument("--scale-dx", type=float, default=0.0042,
+                    help="second measurement at this dx (~1.2M particles - "
+                         "the >=1M block-path evidence rides the artifact); "
                          "0 disables it")
     ap.add_argument("--no-parity", action="store_true",
                     help="skip the compiled-vs-XLA parity gate")
