@@ -119,6 +119,18 @@ def count_occupied(positions, inv_cutoff: float, grid: Grid) -> int:
     return int(len(np.unique(key)))
 
 
+def segment_starts(keys, ncells: int):
+    """``cell_start[k] = number of keys < k`` as ``[ncells + 2]`` int32.
+
+    Equivalent to ``searchsorted(sorted_keys, arange(ncells + 2), "left")``
+    but built with a scatter-add histogram + cumsum - measured ~3x faster
+    than the dense-edge binary search on the chip (r4) and independent of
+    the input ordering.  Integer-exact, so the swap is bitwise-neutral.
+    """
+    cnt = jnp.zeros(ncells + 2, jnp.int32).at[keys.astype(jnp.int32) + 1].add(1)
+    return jnp.cumsum(cnt).astype(jnp.int32)
+
+
 def max_row_segment(cell_start, grid: Grid):
     """On-device: max 3-cell x-window sum over all rows (overflow telemetry
     for the Pallas candidate windows)."""
@@ -176,8 +188,7 @@ def rebuild(particles: Particles, inv_cutoff, grid: Grid, ctx=None):
         sorted_parts = particles.permute(perm)
         sorted_parts = sorted_parts.replace(cell=jnp.take(coords, perm, axis=0))
 
-    edges = jnp.arange(grid.ncells + 2, dtype=sorted_keys.dtype)
-    cell_start = jnp.searchsorted(sorted_keys, edges, side="left").astype(jnp.int32)
+    cell_start = segment_starts(sorted_keys, grid.ncells)
     occ = cell_start[1 : grid.ncells + 1] - cell_start[: grid.ncells]
     return sorted_parts, cell_start, jnp.max(occ).astype(jnp.int32)
 
@@ -227,10 +238,8 @@ def rebuild_sharded(particles: Particles, inv_cutoff, grid: Grid, ctx,
     order = jnp.argsort(keys, stable=True)
     skeys = jnp.take(keys, order, axis=0)
 
-    # per-key counts from the sorted keys (no scatter): counts[k] =
-    # local_start[k+1] - local_start[k]
-    edges = jnp.arange(ncells + 2, dtype=skeys.dtype)
-    local_start = jnp.searchsorted(skeys, edges, side="left").astype(jnp.int32)
+    # per-key counts: counts[k] = local_start[k+1] - local_start[k]
+    local_start = segment_starts(skeys, ncells)
     counts_loc = local_start[1:] - local_start[:-1]                # [ncells+1]
 
     counts_all = jax.lax.all_gather(counts_loc, ctx.axis, axis=0)  # [ndev, nc+1]

@@ -225,8 +225,9 @@ def pallas_mdbc_moments(
     gvalid_s = jnp.take(gvalid, perm)
     gcoords_s = jnp.take(gcoords, perm, axis=0)
 
-    edges = jnp.arange(ncells + 2, dtype=gkeys_s.dtype)
-    gcell_start = jnp.searchsorted(gkeys_s, edges, side="left").astype(jnp.int32)
+    from .cell_list import segment_starts
+
+    gcell_start = segment_starts(gkeys_s, ncells)
 
     # ghost self windows, row-major [Bpad, 128]
     Bpad = _round_up(B + R + 8, 128)
