@@ -209,10 +209,7 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
     perm0 = jnp.argsort(keys0, stable=True)
     p0 = p0.permute(perm0)
     p0 = p0.replace(cell=jnp.take(coords, perm0, axis=0))
-    edges = jnp.arange(cfg0.grid.ncells + 2, dtype=keys0.dtype)
-    cs0 = jnp.searchsorted(
-        jnp.take(keys0, perm0), edges, side="left"
-    ).astype(jnp.int32)
+    cs0 = _cl.segment_starts(keys0, cfg0.grid.ncells)
     state = state.replace(
         particles=p0,
         cell_start=cs0,

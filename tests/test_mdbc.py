@@ -21,7 +21,7 @@ from sphexample_tpu.state import allocate_particles
 from reference_impl import brute_force_mdbc
 
 
-@pytest.mark.parametrize("dims", [2, 3])
+@pytest.mark.parametrize("dims", [2, pytest.param(3, marks=pytest.mark.slow)])
 @pytest.mark.parametrize("use_pallas", [False, True])
 def test_mdbc_matches_brute_force(dims, use_pallas):
     rng = np.random.default_rng(7)
@@ -96,6 +96,7 @@ def test_mdbc_no_neighbors_keeps_density():
     assert float(out[0]) == pytest.approx(990.0)
 
 
+@pytest.mark.slow
 def test_mdbc_pallas_step_plumbing():
     """A full sph_step with use_pallas (interpret) must route the mDBC
     correction through the fused moment kernel and match the gather-path
@@ -175,6 +176,7 @@ def test_mdbc_pallas_step_plumbing():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("edge", [False, True])
 def test_mdbc_pallas_crowded_chunk_boundaries(edge):
     """Stress the fused moment kernel exactly where hardware found its one

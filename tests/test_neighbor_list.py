@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 from test_sweep import _setup
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dims", [2, 3])
 def test_list_sweep_matches_stencil_sweep(dims):
     const, kern, grid, p, cell_start = _setup(dims, n=220)

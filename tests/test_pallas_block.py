@@ -94,7 +94,7 @@ def _compare(out, ref):
         )
 
 
-@pytest.mark.parametrize("dims", [2, 3])
+@pytest.mark.parametrize("dims", [2, pytest.param(3, marks=pytest.mark.slow)])
 @pytest.mark.parametrize(
     "visc,diff,family",
     [
@@ -187,6 +187,7 @@ def test_block_sweep_crowded_cells():
     _compare(out, ref)
 
 
+@pytest.mark.slow
 def test_block_sweep_partitioned_tables(monkeypatch):
     """Chunk tables beyond TAB_BUDGET words run as a partitioned launch
     (one kernel call per program range, rebased table slices) and must match
@@ -501,6 +502,7 @@ def test_block_sweep_bpb_override_parity(bpb):
         pbs_mod.pallas_block_sweep.clear_cache()
 
 
+@pytest.mark.slow
 def test_block_tables_wide_offsets_beyond_2pow19():
     """At the default CH=128 the chunk word packs 7+7+18 bits, raising the
     capacity ceiling from 2^19 to 2^21 rows.  Build tables for a ~729k-row

@@ -51,7 +51,7 @@ def _setup(dims, n=220, seed=3, capacity=1024, family=KernelFamily.WENDLAND_C2):
     return const, kern, grid, sorted_p, cell_start
 
 
-@pytest.mark.parametrize("dims", [2, 3])
+@pytest.mark.parametrize("dims", [2, pytest.param(3, marks=pytest.mark.slow)])
 @pytest.mark.parametrize(
     "visc,diff,family",
     [

@@ -158,8 +158,8 @@ def _tall_column_setup(use_pallas, mdbc=False, max_per_cell=None, block=False):
     return sim
 
 
-@pytest.mark.parametrize("block", [False, True])
-@pytest.mark.parametrize("mdbc", [False, True])
+@pytest.mark.parametrize("block", [False, pytest.param(True, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("mdbc", [False, pytest.param(True, marks=pytest.mark.slow)])
 def test_sharded_pallas_halo_matches_single_chip(mdbc, block):
     """The per-device fused sweep (cell-pair or BLOCK kernel, and, with
     mdbc, the per-device fused moment kernel) with 1-hop halo exchange must
@@ -205,6 +205,7 @@ def test_sharded_pallas_halo_matches_single_chip(mdbc, block):
         np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12, err_msg=field)
 
 
+@pytest.mark.slow
 def test_sharded_block_bpb_matches_single_chip():
     """BPB=2 on the sharded halo BLOCK path: slabs round to 512 rows/device
     (4 blocks) precisely so per-slab block counts stay BPB-divisible - this
@@ -311,6 +312,7 @@ def test_rebuild_sharded_with_real_migration():
             np.asarray(getattr(ref_sorted, field)), err_msg=field)
 
 
+@pytest.mark.slow
 def test_sharded_block_ct_cap_retune_recovers():
     """Chunk-table overflow on the sharded BLOCK path must re-shard with a
     grown per-device ct_cap and replay (the truncated cover sweeps wrong
@@ -368,6 +370,7 @@ def test_sharded_block_ct_cap_retune_recovers():
     assert np.isfinite(dens[act]).all()
 
 
+@pytest.mark.slow
 def test_sharded_retune_recovers():
     """Window overflow under a mesh must re-shard with grown windows and
     replay the interval (it used to raise RuntimeError: VERDICT round-2
@@ -392,6 +395,7 @@ def test_sharded_retune_recovers():
     assert np.isfinite(dens[act]).all()
 
 
+@pytest.mark.slow
 def test_sharded_checkpoint_resume_matches_continuous(tmp_path):
     """Checkpoint a sharded run at an interval boundary, resume into a fresh
     single-chip assembly, re-shard (the CLI's --resume + --shard order), and

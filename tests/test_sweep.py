@@ -113,6 +113,7 @@ def test_sweep_matches_brute_force(dims, visc, diff):
     np.testing.assert_allclose(np.asarray(out.div_r), ref["div_r"], rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_sweep_cubic_spline_kernel():
     const, kern, grid, p, cell_start = _setup(2, n=150, family=KernelFamily.CUBIC_SPLINE)
     spec = PhysicsSpec(

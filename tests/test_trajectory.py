@@ -118,6 +118,52 @@ def test_trajectory_wedge_mdbc():
 
 
 @pytest.mark.slow
+def test_trajectory_dam_break_3d_mini():
+    """Mini 3D dam break: falling fluid block over a fixed floor slab,
+    artificial viscosity + COMPLEX diffusion (the Dambreak3d.jl model set
+    with the 7th-root inverse-EOS branch), pinning the 3D step path."""
+    const = SimulationConstants(dx=0.04, c0=30.0, cfl=0.3, m0=1000 * 0.04**3)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 3, dx=const.dx)
+    dx = const.dx
+
+    xs, ys, zs = np.meshgrid(np.arange(5), np.arange(5), np.arange(5),
+                             indexing="ij")
+    fluid = np.stack([xs.ravel() * dx, ys.ravel() * dx,
+                      zs.ravel() * dx + dx], axis=-1)
+    fx, fy = np.meshgrid(np.arange(-2, 7), np.arange(-2, 7), indexing="ij")
+    floor = np.stack([fx.ravel() * dx, fy.ravel() * dx,
+                      np.zeros(fx.size)], axis=-1)
+    pos = np.concatenate([floor, fluid]) + OFF
+    nb = len(floor)
+    n = len(pos)
+    ptype = np.concatenate([np.full(nb, 2), np.full(len(fluid), 1)]).astype(np.int32)
+    gm = np.concatenate([np.full(nb, 1), np.full(len(fluid), 2)]).astype(np.int32)
+    ids = np.arange(1, n + 1)
+    dens0 = np.full(n, const.rho0)
+
+    meta = SimulationMetaData(
+        simulation_name="traj_db3d", save_location=".", dims=3,
+        dtype="float64", grid_margin_cells=4,
+    )
+    sim = assemble_simulation(
+        pos, dens0, ptype, gm, ids, meta, const, kern,
+        ViscosityModel.ARTIFICIAL, DensityDiffusionModel.COMPLEX,
+    )
+    fw = _run_framework(sim, N_STEPS)
+
+    ref = reference_run(
+        kernel_family="wendland", kern=kern, const=const,
+        viscosity="artificial", diffusion="complex",
+        shifting=False, kernel_output=False, mdbc=False, motion={},
+        pos=pos, dens=dens0, ptype=ptype, group_marker=gm, ids=ids,
+        ghost_points=np.zeros_like(pos), n_steps=N_STEPS,
+    )
+    _compare(fw, ref)
+    # the fluid actually fell
+    assert fw["vel"][nb:, 2].min() < -0.05
+
+
+@pytest.mark.slow
 def test_trajectory_moving_square_laminar_sps():
     """Mini moving-square: prescribed-motion body driving fluid, LaminarSPS +
     linear diffusion + planar shifting + kernel STORE (the MovingSquare2d.jl
