@@ -250,6 +250,45 @@ def test_sharded_block_bpb_matches_single_chip():
         np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12, err_msg=field)
 
 
+@pytest.mark.slow
+def test_sharded_partitioned_tables_matches_single_chip(monkeypatch):
+    """Per-device chunk tables beyond TAB_BUDGET take the partitioned launch
+    on the sharded halo path too; the trajectory must stay bitwise-grade
+    equal to the (equally partitioned) single-chip run."""
+    import sphexample_tpu.ops.pallas_block_sweep as pbs_mod
+
+    assert len(jax.devices()) >= 4
+    monkeypatch.setattr(pbs_mod, "TAB_BUDGET", 128)
+    pbs_mod.pallas_block_sweep.clear_cache()
+    try:
+        sim_single = _tall_column_setup(use_pallas=True, mdbc=False, block=True)
+        sim_shard = shard_simulation(
+            _tall_column_setup(use_pallas=True, mdbc=False, block=True),
+            make_mesh(4))
+        assert sim_shard.cfg.halo > 0
+        assert pbs_mod.n_tab_parts(sim_shard.cfg.ct_cap) > 1
+        assert pbs_mod.n_tab_parts(sim_single.cfg.ct_cap) > 1
+
+        t_out = jnp.asarray(0.004, dtype=jnp.float64)
+        final_single = sim_single.interval_fn(sim_single.state, t_out)
+        final_shard = sim_shard.interval_fn(sim_shard.state, t_out)
+    finally:
+        pbs_mod.pallas_block_sweep.clear_cache()
+
+    assert int(final_shard.iteration) == int(final_single.iteration)
+
+    def by_id(state):
+        ids = np.asarray(state.particles.id)
+        order = np.argsort(ids)
+        return order[ids[order] > 0]
+
+    o1, o2 = by_id(final_single), by_id(final_shard)
+    for field in ("position", "velocity", "density", "pressure"):
+        a = np.asarray(getattr(final_single.particles, field))[o1]
+        b = np.asarray(getattr(final_shard.particles, field))[o2]
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12, err_msg=field)
+
+
 def test_rebuild_sharded_with_real_migration():
     """The distributed rebuild's 1-hop row migration, exercised with rows
     that actually cross slab boundaries (the trajectory tests settle too
