@@ -292,8 +292,12 @@ def main():
         and jax.default_backend() == "tpu"
     ):
         try:
+            import copy
+
+            scale_args = copy.copy(args)
+            scale_args.steps = min(args.steps, 50)  # bound the 1.2M wall time
             sdx, sn, spsteps = _armed(
-                "scale_check", run_case, args, args.case, args.scale_dx
+                "scale_check", run_case, scale_args, args.case, args.scale_dx
             )
             record["scale_check"] = {
                 "dx": sdx,
