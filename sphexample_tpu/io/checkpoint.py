@@ -124,6 +124,22 @@ def load_checkpoint(path: str, template: SimulationState) -> Tuple[SimulationSta
     return jax.tree.unflatten(treedef, restored), int(data["counter"])
 
 
+def _reinit_tables(state, cfg, cap: int):
+    """Re-init the capacity-shaped Pallas program/block tables after a
+    capacity change (shared by both resume branches; core/driver._retune
+    rebuilds through the same constructors)."""
+    if cfg.ct_cap:
+        from ..ops.pallas_block_sweep import init_block_tables
+
+        return state.replace(block_tables=init_block_tables(cap, cfg.ct_cap))
+    from ..ops.pallas_sweep import init_program_tables, sweep_rows
+
+    return state.replace(
+        pallas_tables=init_program_tables(cfg.grid, cfg.maxc,
+                                          sweep_rows(cfg.mpc), cap)
+    )
+
+
 def resume_simulation(sim, path: str):
     """Resume ``sim`` from ``path`` even when the checkpoint was written
     with different (retuned) windows or capacity: grows the simulation's
@@ -151,20 +167,7 @@ def resume_simulation(sim, path: str):
             state = pad_capacity(sim.state, cap)
             new_cfg = _dc.replace(sim.cfg, mpc=mpc, cseg=cseg, maxc=maxc,
                                   ct_cap=ct_cap)
-            if ct_cap:
-                from ..ops.pallas_block_sweep import init_block_tables
-
-                state = state.replace(
-                    block_tables=init_block_tables(cap, ct_cap)
-                )
-            else:
-                from ..ops.pallas_sweep import init_program_tables, sweep_rows
-
-                state = state.replace(
-                    pallas_tables=init_program_tables(
-                        new_cfg.grid, maxc, sweep_rows(mpc), cap
-                    )
-                )
+            state = _reinit_tables(state, new_cfg, cap)
             sim = Simulation(
                 cfg=new_cfg, state=state, meta=sim.meta, n_live=sim.n_live
             )
@@ -182,22 +185,7 @@ def resume_simulation(sim, path: str):
             # branch, and re-jit through a fresh Simulation
             from ..core.driver import Simulation
 
-            state = sim.state
-            if sim.cfg.ct_cap:
-                from ..ops.pallas_block_sweep import init_block_tables
-
-                state = state.replace(
-                    block_tables=init_block_tables(cap, sim.cfg.ct_cap)
-                )
-            else:
-                from ..ops.pallas_sweep import init_program_tables, sweep_rows
-
-                state = state.replace(
-                    pallas_tables=init_program_tables(
-                        sim.cfg.grid, sim.cfg.maxc,
-                        sweep_rows(sim.cfg.mpc), cap,
-                    )
-                )
+            state = _reinit_tables(sim.state, sim.cfg, cap)
             sim = Simulation(
                 cfg=sim.cfg, state=state, meta=sim.meta, n_live=sim.n_live
             )

@@ -885,33 +885,52 @@ def _invoke_block_kernel(spec, dims, maxb, tables, packed_self, packedT_hbm,
         return launch(maxb, tables.prog_start, tables.prog_mid,
                       tables.chunk_tab, lambda b, *_: (0, b))
 
-    # Partitioned launch: static block ranges; each part's table slice
-    # starts at its first chunk (prog_start rebased by subtracting it -
-    # safe on the packed words: the low-24 chunk field only shrinks, the
-    # cut byte is untouched).  The table is padded with TAB_BUDGET zero
-    # words so the trailing part's dynamic slice never clamps (a clamp
-    # would silently shift chunk indices against the slice).
-    M24 = jnp.int32(16777216)
-    nb = -(-maxb // G)
-    tab_padded = jnp.concatenate(
-        [tables.chunk_tab, jnp.zeros((TAB_BUDGET,), jnp.int32)]
-    )
     outs = []
-    for g in range(G):
-        b0 = g * nb
-        b1 = min(b0 + nb, maxb)
-        if b0 >= b1:
-            break
-        nb_g = b1 - b0
-        start = jax.lax.rem(tables.prog_start[b0], M24)
-        ps_g = tables.prog_start[b0:b1 + 1] - start
-        mid_g = tables.prog_mid[b0:b1] - start
-        tab_g = jax.lax.dynamic_slice(tab_padded, (start,), (TAB_BUDGET,))
+    for b0, nb_g, ps_g, mid_g, tab_g in partition_tables(tables, maxb, G):
         outs.append(
             launch(nb_g, ps_g, mid_g, tab_g,
                    lambda b, *_, _b0=b0: (0, _b0 + b))
         )
     return jnp.concatenate(outs, axis=1)
+
+
+def partition_tables(tables: "BlockTables", maxb: int, G: int):
+    """Split the chunk table into G static parts for the partitioned launch.
+
+    Each part's table slice starts at its first chunk (prog_start rebased by
+    subtracting it - safe on the packed words: the low-24 chunk field only
+    shrinks, the cut byte is untouched).  The table is padded with TAB_BUDGET
+    zero words so the trailing part's dynamic slice never clamps (a clamp
+    would silently shift chunk indices against the slice).
+
+    The rebased low-24 chunk fields are clamped to the slice length: a
+    skewed cover can concentrate more than TAB_BUDGET chunks into one part
+    even when ct_cap holds globally, and an unclamped index would read past
+    the SMEM table slice on hardware (the unpartitioned path is safe because
+    build time clamps prog_start to ct_cap = the table length).  Clamping
+    truncates the part's trailing chunks - the same safe-truncate contract;
+    the inflated ``chunk_total`` telemetry then drives the ct_cap retune.
+
+    Yields ``(b0, nb_g, ps_g, mid_g, tab_g)`` per part.
+    """
+    M24 = jnp.int32(16777216)
+    nb = -(-maxb // G)
+    tab_padded = jnp.concatenate(
+        [tables.chunk_tab, jnp.zeros((TAB_BUDGET,), jnp.int32)]
+    )
+    for g in range(G):
+        b0 = g * nb
+        b1 = min(b0 + nb, maxb)
+        if b0 >= b1:
+            break
+        start = jax.lax.rem(tables.prog_start[b0], M24)
+        ps_g = tables.prog_start[b0:b1 + 1] - start
+        mid_g = tables.prog_mid[b0:b1] - start
+        cut_g = (ps_g // M24) * M24
+        ps_g = cut_g + jnp.minimum(ps_g - cut_g, TAB_BUDGET)
+        mid_g = jnp.minimum(mid_g, TAB_BUDGET)
+        tab_g = jax.lax.dynamic_slice(tab_padded, (start,), (TAB_BUDGET,))
+        yield b0, b1 - b0, ps_g, mid_g, tab_g
 
 
 def pallas_block_sweep_sharded(

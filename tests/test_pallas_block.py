@@ -222,6 +222,62 @@ def test_block_sweep_partitioned_tables(monkeypatch):
     assert int(bt_part.chunk_total) >= int(bt_full.chunk_total)
 
 
+def test_partitioned_part_overflow_clamps_and_retunes(monkeypatch):
+    """A skewed cover can put more than TAB_BUDGET chunks into ONE part even
+    when ct_cap holds globally.  The launch must clamp the rebased chunk
+    indices to the table slice (an unclamped index reads past the SMEM slice
+    on hardware) and the telemetry must exceed ct_cap so the retune replays
+    the interval at a larger table."""
+    const, kern, grid, p, cell_start = _setup(3, n=400, capacity=1024)
+    spec = PhysicsSpec(
+        constants=const, kernel=kern, viscosity=ViscosityModel.ARTIFICIAL,
+        diffusion=DensityDiffusionModel.LINEAR,
+    )
+    # this fixture's per-block chunk need is [12, 15, 12, 4, 0, ...]: with
+    # TAB_BUDGET=13 and ct_cap=104 (G=8, one block per part) only block 1
+    # overflows its slice
+    monkeypatch.setattr(pbs, "TAB_BUDGET", 13)
+    pbs.pallas_block_sweep.clear_cache()
+    try:
+        tabs = pbs.make_block_tables(cell_start, p.cell, p.active, grid,
+                                     1024, 104)
+        per_block = np.diff(np.asarray(tabs.prog_start) % 16777216)
+        assert per_block.max() > 13 and (per_block <= 13).sum() >= 3
+
+        # telemetry: part overflow must inflate chunk_total past ct_cap
+        assert int(tabs.chunk_total) > 104
+
+        # every part the kernel receives stays inside its 13-word slice
+        maxb = 1024 // pbs.BLOCK
+        for _b0, _nb, ps_g, mid_g, _tab in pbs.partition_tables(
+                tabs, maxb, pbs.n_tab_parts(104)):
+            assert int((np.asarray(ps_g) % 16777216).max()) <= 13
+            assert int(np.asarray(mid_g).max()) <= 13
+
+        # execution is safe-truncated: finite everywhere, and blocks whose
+        # parts did not overflow are exactly right
+        out = pbs.pallas_block_sweep(
+            spec, grid, 104, p, cell_start,
+            p.position, p.density, p.pressure, p.velocity, interpret=True,
+        )
+        ref = pair_sweep(spec, grid, 512, 64, p, cell_start,
+                         p.position, p.density, p.pressure, p.velocity)
+        assert np.isfinite(np.asarray(out.drhodt)).all()
+        assert np.isfinite(np.asarray(out.acceleration)).all()
+        ok_rows = np.zeros(1024, bool)
+        for b in range(maxb):
+            if per_block[b] <= 13:
+                ok_rows[b * pbs.BLOCK : (b + 1) * pbs.BLOCK] = True
+        assert ok_rows.sum() >= 3 * pbs.BLOCK
+        np.testing.assert_allclose(
+            np.asarray(out.drhodt)[ok_rows], np.asarray(ref.drhodt)[ok_rows],
+            rtol=2e-5,
+            atol=2e-5 * (float(np.abs(np.asarray(ref.drhodt)).max()) + 1e-6),
+        )
+    finally:
+        pbs.pallas_block_sweep.clear_cache()
+
+
 def test_block_tables_overflow_telemetry():
     """chunk_total reports the real need even when ct_cap truncates."""
     const, kern, grid, p, cell_start = _setup(3)

@@ -82,7 +82,10 @@ def main():
 
     timeit("uncond rebuild x4", uncond, p0, iters=4)
 
-    # (b) cond rebuild, taken once per reps iterations
+    # (b) cond rebuild, taken once per reps iterations.  NB the predicate
+    # ``i % period == 0`` fires at i=0, so the 1/reps lane takes the branch
+    # exactly once; the never-taken lane needs a predicate that is false at
+    # EVERY i (i<0) or the baseline would hide one full rebuild too.
     def make_cond_loop(period):
         @jax.jit
         def run(p_in):
@@ -94,13 +97,14 @@ def main():
                             cs[0] + bt.chunk_total)
                 def dont(p):
                     return (p, jnp.int32(0))
-                p2, v = jax.lax.cond(i % period == 0, do, dont, p_)
+                pred = (i % period == 0) if period > 0 else (i < 0)
+                p2, v = jax.lax.cond(pred, do, dont, p_)
                 return (p2, acc + v)
             return jax.lax.fori_loop(0, reps, body, (p_in, jnp.int32(0)))[1]
         return run
 
     timeit(f"cond taken 1/{reps}", make_cond_loop(reps), p0, iters=reps)
-    timeit("cond never taken", make_cond_loop(10 ** 9), p0, iters=reps)
+    timeit("cond never taken", make_cond_loop(0), p0, iters=reps)
     timeit("cond taken every iter", make_cond_loop(1), p0, iters=reps)
 
 
