@@ -97,25 +97,41 @@ def grid_from_positions(
     return Grid(cmin=tuple(int(v) for v in cmin), shape=tuple(int(v) for v in (cmax - cmin + 1)))
 
 
+def host_cell_coords(positions: np.ndarray, inv_cutoff: float) -> np.ndarray:
+    """Host-side (numpy) mirror of :func:`cell_coords`: the reference's
+    round-half-away ``map_floor`` rule (SPHCellList.jl:115-124).  Single
+    source for every host sizer - any change to the cell-assignment rule
+    must happen here and in ``cell_coords`` together."""
+    return (np.sign(positions)
+            * np.trunc(np.abs(positions) * inv_cutoff + 0.5)).astype(np.int64)
+
+
+def host_cell_keys(positions: np.ndarray, inv_cutoff: float,
+                   grid: Grid) -> np.ndarray:
+    """Host-side clamped linear cell keys (the numpy mirror of
+    ``linearize(clamp_coords(cell_coords(...)))``)."""
+    c = np.clip(host_cell_coords(positions, inv_cutoff),
+                np.asarray(grid.cmin),
+                np.asarray(grid.cmin) + np.asarray(grid.shape) - 1)
+    return ((c - np.asarray(grid.cmin)) * np.asarray(grid.strides)).sum(axis=1)
+
+
 def measure_occupancy(positions: np.ndarray, inv_cutoff: float, grid: Grid):
     """Host-side: (max cell occupancy, max 3-cell stencil-row segment length)
     of the initial configuration - used to size the Pallas windows."""
-    c = (np.sign(positions) * np.trunc(np.abs(positions) * inv_cutoff + 0.5)).astype(np.int64)
-    c = np.clip(c, np.asarray(grid.cmin), np.asarray(grid.cmin) + np.asarray(grid.shape) - 1)
-    rel = c - np.asarray(grid.cmin)
-    key = (rel * np.asarray(grid.strides)).sum(axis=1)
+    key = host_cell_keys(positions, inv_cutoff, grid)
     counts = np.bincount(key, minlength=grid.ncells)
     rows = counts.reshape(-1, grid.shape[0])
-    seg = rows[:, :-2] + rows[:, 1:-1] + rows[:, 2:] if grid.shape[0] >= 3 else rows
+    # degenerate x-extents (< 3 cells): the clamped stencil window covers the
+    # whole row, so the segment is the row SUM - matching max_row_segment
+    seg = (rows[:, :-2] + rows[:, 1:-1] + rows[:, 2:]
+           if grid.shape[0] >= 3 else rows.sum(axis=1, keepdims=True))
     return int(counts.max()), int(seg.max())
 
 
 def count_occupied(positions, inv_cutoff: float, grid: Grid) -> int:
     """Host-side: number of occupied cells in the initial configuration."""
-    c = (np.sign(positions) * np.trunc(np.abs(positions) * inv_cutoff + 0.5)).astype(np.int64)
-    c = np.clip(c, np.asarray(grid.cmin), np.asarray(grid.cmin) + np.asarray(grid.shape) - 1)
-    rel = c - np.asarray(grid.cmin)
-    key = (rel * np.asarray(grid.strides)).sum(axis=1)
+    key = host_cell_keys(positions, inv_cutoff, grid)
     return int(len(np.unique(key)))
 
 
@@ -143,12 +159,27 @@ def max_row_segment(cell_start, grid: Grid):
 
 
 def estimate_max_per_cell(positions: np.ndarray, inv_cutoff: float) -> int:
-    """Host-side occupancy estimate for sizing the candidate windows."""
-    c = (np.sign(positions) * np.trunc(np.abs(positions) * inv_cutoff + 0.5)).astype(np.int64)
+    """Host-side occupancy estimate for sizing the candidate windows.
+    Unclamped (no grid yet): at init every position is inside the grid's
+    margin, so clamping would be a no-op."""
+    c = host_cell_coords(positions, inv_cutoff)
     _, counts = np.unique(c, axis=0, return_counts=True)
     occ = int(counts.max())
     # safety: compression during impacts packs cells beyond the initial lattice
     return int(math.ceil(occ * 1.5)) + 8
+
+
+def sort_keys(particles: Particles, inv_cutoff, grid: Grid):
+    """Clamped cell coords + linear sort keys with inactive rows parked at
+    ``grid.parking_key`` - THE ordering rule of :func:`rebuild`.  Any
+    pre-sort that must agree with the in-step rebuild (the distributed
+    rebuild's 1-hop migration bound assumes slabs START in exactly this
+    order - ``parallel.mesh.shard_simulation``) goes through this function,
+    never a re-implementation."""
+    coords = clamp_coords(cell_coords(particles.position, inv_cutoff), grid)
+    keys = jnp.where(particles.active, linearize(coords, grid),
+                     grid.parking_key)
+    return keys, coords
 
 
 def rebuild(particles: Particles, inv_cutoff, grid: Grid, ctx=None):
@@ -168,10 +199,7 @@ def rebuild(particles: Particles, inv_cutoff, grid: Grid, ctx=None):
     from ..parallel.context import SINGLE
 
     ctx = ctx or SINGLE
-    coords = cell_coords(particles.position, inv_cutoff)
-    coords = clamp_coords(coords, grid)
-    keys = linearize(coords, grid)
-    keys = jnp.where(particles.active, keys, grid.parking_key)
+    keys, coords = sort_keys(particles, inv_cutoff, grid)
 
     keys_g = ctx.gather(keys)
     perm = jnp.argsort(keys_g, stable=True)
@@ -231,9 +259,7 @@ def rebuild_sharded(particles: Particles, inv_cutoff, grid: Grid, ctx,
     rank = ctx.rank()
     base = rank * C
 
-    coords = clamp_coords(cell_coords(particles.position, inv_cutoff), grid)
-    keys = linearize(coords, grid)
-    keys = jnp.where(particles.active, keys, grid.parking_key)
+    keys, coords = sort_keys(particles, inv_cutoff, grid)
 
     order = jnp.argsort(keys, stable=True)
     skeys = jnp.take(keys, order, axis=0)

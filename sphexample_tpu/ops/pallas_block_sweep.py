@@ -406,13 +406,9 @@ def init_block_tables(capacity: int, ct_cap: int) -> BlockTables:
 
 def _host_sorted_keys(position: np.ndarray, inv_cutoff: float, grid: Grid):
     """Sorted linear cell keys of the live rows + global cell_start (numpy)."""
-    c = (np.sign(position) * np.trunc(np.abs(position) * inv_cutoff + 0.5))
-    c = c.astype(np.int64)
-    c = np.clip(c, np.asarray(grid.cmin),
-                np.asarray(grid.cmin) + np.asarray(grid.shape) - 1)
-    rel = c - np.asarray(grid.cmin)
-    key = (rel * np.asarray(grid.strides)).sum(axis=1)
-    key = np.sort(key)
+    from .cell_list import host_cell_keys
+
+    key = np.sort(host_cell_keys(position, inv_cutoff, grid))
     counts = np.bincount(key, minlength=grid.ncells)
     cs = np.concatenate([[0], np.cumsum(counts)])
     return key, cs

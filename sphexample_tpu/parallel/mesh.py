@@ -28,7 +28,14 @@ AXIS = "particles"
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
     devs = jax.devices()
-    n = n_devices or len(devs)
+    n = len(devs) if n_devices is None else int(n_devices)
+    if n < 1 or n > len(devs):
+        raise ValueError(
+            f"make_mesh({n_devices}): {len(devs)} device(s) available "
+            "(for a CPU smoke run set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            "before any jax import)"
+        )
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
@@ -135,34 +142,48 @@ def make_sharded_interval_fn(cfg: StepConfig, mesh: Mesh, axis: str = AXIS):
     return make_chunk_loop(cfg, sharded_chunk), cfg
 
 
-def measure_halo(position, active, inv_cutoff, grid, ndev: int, capacity: int) -> int:
-    """Host-side: max sorted-row reach of any stencil window past a slab
-    boundary in the initial configuration.  Every neighbor cell of cell k has
-    a linear key within ``sum(strides)`` of k, so the reach at a boundary is
-    bounded by the particle count of that key band (runtime telemetry guards
-    drift as the fluid moves)."""
+def measure_halo(position, active, inv_cutoff, grid, ndev: int, capacity: int,
+                 ghost_points=None) -> int:
+    """Host-side: max sorted-row reach of any stencil window past its own
+    slab's boundaries in the initial configuration.  Every neighbor cell of
+    cell k has a linear key within ``W = sum(strides)`` of k, so a window's
+    rows are bounded by the ``[k-W, k+W]`` key band - the same conservative
+    band the runtime ``max_halo`` telemetry guards as the fluid drifts.
+
+    ``ghost_points`` (mDBC): the sharded mDBC kernel reads each boundary
+    particle's GHOST-node stencil from the same halo, and the ghost sits up
+    to ~one cell away from its particle - its band is evaluated at the ghost
+    key but anchored to the particle's own slab, exactly like the runtime
+    telemetry (core/step.py ghost branch)."""
+    from ..ops.cell_list import host_cell_keys
+
     pos = np.asarray(position)
     act = np.asarray(active)
     ncells = grid.ncells
-    c = (np.sign(pos) * np.trunc(np.abs(pos) * inv_cutoff + 0.5)).astype(np.int64)
-    c = np.clip(c, np.asarray(grid.cmin),
-                np.asarray(grid.cmin) + np.asarray(grid.shape) - 1)
-    key = ((c - np.asarray(grid.cmin)) * np.asarray(grid.strides)).sum(axis=1)
-    key = np.where(act, key, ncells)
-    skeys = np.sort(key, kind="stable")
+    key = np.where(act, host_cell_keys(pos, inv_cutoff, grid), ncells)
+    order = np.argsort(key, kind="stable")
+    skeys = key[order]
     cell_start = np.searchsorted(skeys, np.arange(ncells + 2))
+    rank = np.empty(capacity, np.int64)
+    rank[order] = np.arange(capacity)
     C = capacity // ndev
+    dev = rank // C
     W = int(sum(grid.strides))
-    need = 0
-    for d in range(1, ndev):
-        b = d * C
-        kb = int(skeys[min(b, capacity - 1)])
-        kprev = int(skeys[b - 1])
-        if kb < ncells:
-            need = max(need, b - int(cell_start[max(kb - W, 0)]))
-        if kprev < ncells:
-            need = max(need, int(cell_start[min(kprev + W + 1, ncells)]) - b)
-    return int(need)
+
+    def band_need(k_arr, mask):
+        s = cell_start[np.clip(k_arr - W, 0, ncells)]
+        e = cell_start[np.clip(k_arr + W + 1, 0, ncells + 1)]
+        l = np.where(mask, dev * C - s, 0)
+        r = np.where(mask, e - (dev + 1) * C, 0)
+        return max(int(l.max(initial=0)), int(r.max(initial=0)))
+
+    need = band_need(key, act & (key < ncells))
+    if ghost_points is not None:
+        gp = np.asarray(ghost_points)
+        has_g = act & np.any(gp != 0, axis=-1)
+        gkey = host_cell_keys(gp, inv_cutoff, grid)
+        need = max(need, band_need(gkey, has_g))
+    return max(int(need), 0)
 
 
 def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = AXIS,
@@ -200,12 +221,9 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
 
     cfg0 = sim.cfg
     p0 = state.particles
-    coords = _cl.clamp_coords(
-        _cl.cell_coords(p0.position, cfg0.spec.kernel.H_inv), cfg0.grid
-    )
-    keys0 = jnp.where(
-        p0.active, _cl.linearize(coords, cfg0.grid), cfg0.grid.parking_key
-    )
+    # the EXACT ordering rule of the in-step rebuild (the 1-hop migration
+    # bound of rebuild_sharded assumes slabs start in this order)
+    keys0, coords = _cl.sort_keys(p0, cfg0.spec.kernel.H_inv, cfg0.grid)
     perm0 = jnp.argsort(keys0, stable=True)
     p0 = p0.permute(perm0)
     p0 = p0.replace(cell=jnp.take(coords, perm0, axis=0))
@@ -216,25 +234,32 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
         position_half=jnp.take(state.position_half, perm0, axis=0),
     )
 
-    cfg0 = sim.cfg
     halo = 0
     if cfg0.use_pallas:
+        from ..config import MDBCMode as _MDBC
+
         C = new_cap // ndev
         need = measure_halo(
             state.particles.position, state.particles.active,
             cfg0.spec.kernel.H_inv, cfg0.grid, ndev, new_cap,
+            ghost_points=(state.particles.ghost_points
+                          if sim.meta.mdbc is _MDBC.SIMPLE else None),
         )
         r128 = lambda v: -(-int(v) // 128) * 128  # noqa: E731
         want = r128(need * 2 + 128)               # 2x margin for drift
         want = max(want, r128(min_halo))          # retune-observed floor
         if want <= C:
             halo = want
+        elif r128(min_halo) > C:
+            # a RETUNE asked for more halo than a slab can give: the 1-hop
+            # exchange cannot cover it, and answering with halo = C again
+            # would replay the identical config forever - fall back to the
+            # all-gather sweep (halo = 0), which has no halo to overflow
+            halo = 0
         elif r128(need + 64) <= C:
             halo = C                              # tight fit, telemetry guards
         else:
             halo = 0  # slabs thinner than the stencil reach: 1 hop can't cover
-
-        from ..config import MDBCMode as _MDBC
 
         if halo > 0 and sim.meta.mdbc is _MDBC.SIMPLE:
             # the fused sharded mDBC kernel (ops/pallas_mdbc.py) requires the
@@ -256,7 +281,7 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
     # tables are equal-shaped so slabs stay exchangeable across retunes), the
     # same economics as the single-chip sizing in assemble_simulation.
     ct_cap_dev = 0
-    if halo > 0 and getattr(sim.meta, "block_sweep", False):
+    if halo > 0 and sim.meta.block_sweep:
         from ..ops.pallas_block_sweep import (BLOCK_CAP_LIMIT,
                                               estimate_chunk_totals_sharded)
 
@@ -313,7 +338,11 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
             block_tables=empty_block_tables(),
         )
 
-    state = state.replace(max_chunks=jnp.zeros((), jnp.int32))
+    # both telemetry maxima were measured against the PREVIOUS slab geometry
+    # (or the single-chip run) - stale values would spuriously trip the
+    # overflow check against the fresh halo/ct_cap on the first interval
+    state = state.replace(max_chunks=jnp.zeros((), jnp.int32),
+                          max_halo=jnp.zeros((), jnp.int32))
     interval_fn, cfg = make_sharded_interval_fn(
         _dc.replace(cfg0, halo=halo, ct_cap=ct_cap_dev), mesh, axis
     )

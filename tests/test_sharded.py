@@ -478,3 +478,63 @@ def test_sharded_checkpoint_resume_matches_continuous(tmp_path):
         a = np.asarray(getattr(ref.state.particles, field))[o1]
         b = np.asarray(getattr(simB.state.particles, field))[o2]
         np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12, err_msg=field)
+
+
+def test_make_mesh_rejects_bad_device_counts():
+    """Silent under-provisioning (mesh(8) on 4 devices) would report results
+    as if n chips ran; fail loudly instead."""
+    with pytest.raises(ValueError):
+        make_mesh(len(jax.devices()) + 1)
+    with pytest.raises(ValueError):
+        make_mesh(0)
+    assert make_mesh(2).shape["particles"] == 2
+
+
+def test_shard_min_halo_beyond_slab_falls_back_to_all_gather():
+    """A retune floor larger than a slab cannot be satisfied by the 1-hop
+    exchange; answering halo = C again would re-shard into the identical
+    config and replay the overflowing interval forever.  The correct
+    response is the all-gather path (halo = 0, nothing to overflow)."""
+    sharded = shard_simulation(
+        _tall_column_setup(use_pallas=True, block=True), make_mesh(4),
+        min_halo=10 ** 6,
+    )
+    assert sharded.cfg.halo == 0
+    assert sharded.cfg.ct_cap == 0
+    final = sharded.interval_fn(sharded.state, jnp.asarray(0.005, jnp.float64))
+    dens = np.asarray(final.particles.density)
+    assert np.isfinite(dens).all() and int(final.iteration) > 0
+
+
+def test_shard_resets_stale_window_telemetry():
+    """max_halo / max_chunks are maxima against the PREVIOUS slab geometry;
+    carrying them into a fresh sharding would spuriously trip the overflow
+    check on the first interval (and could re-trigger the retune forever)."""
+    sim = _tall_column_setup(use_pallas=True, block=True)
+    sim.state = sim.state.replace(
+        max_halo=jnp.asarray(10 ** 6, jnp.int32),
+        max_chunks=jnp.asarray(10 ** 6, jnp.int32),
+    )
+    sharded = shard_simulation(sim, make_mesh(4))
+    assert sharded.cfg.halo > 0
+    assert int(sharded.state.max_halo) == 0
+    assert int(sharded.state.max_chunks) == 0
+
+
+def test_measure_halo_counts_ghost_reach():
+    """mDBC ghost windows ride the runtime halo telemetry, so the initial
+    sizing must bound them too - the ghost band is never smaller than the
+    particle-only band."""
+    from sphexample_tpu.parallel.mesh import measure_halo, pad_capacity
+
+    sim = _tall_column_setup(use_pallas=True, mdbc=True)
+    ndev = 4
+    cap = -(-sim.state.particles.capacity // (ndev * 128)) * (ndev * 128)
+    p = pad_capacity(sim.state, cap).particles
+    kw = dict(inv_cutoff=sim.cfg.spec.kernel.H_inv, grid=sim.cfg.grid,
+              ndev=ndev, capacity=cap)
+    base = measure_halo(p.position, p.active, **kw)
+    withg = measure_halo(p.position, p.active, ghost_points=p.ghost_points,
+                         **kw)
+    assert base > 0
+    assert withg >= base
