@@ -78,7 +78,10 @@ def assemble_simulation(
     n = len(density)
 
     grid = cl.grid_from_positions(position, kernel.H_inv, meta.grid_margin_cells)
-    mpc = meta.max_per_cell or cl.estimate_max_per_cell(position, kernel.H_inv)
+    if not meta.use_pallas:
+        # the pallas branch below derives its own occupancy (this estimate
+        # would be dead work - an O(n) host pass at 1M+ particle scale)
+        mpc = meta.max_per_cell or cl.estimate_max_per_cell(position, kernel.H_inv)
     if meta.use_pallas:
         # Pallas windows sized from the measured initial geometry with 25%
         # headroom (runtime telemetry raises if occupancy outgrows them):
@@ -148,7 +151,11 @@ def assemble_simulation(
         from ..ops.pallas_block_sweep import (BLOCK_CAP_LIMIT,
                                              estimate_chunk_total)
 
-        if int(particles.capacity) <= BLOCK_CAP_LIMIT:
+        # two encoding budgets gate the block path: the packed row-offset
+        # field (BLOCK_CAP_LIMIT, CH-dependent) and the f32 sorted-index
+        # pack (exact only below 2^24 - the density-diffusion role quirk
+        # compares idx values; the sharded path enforces the same bound)
+        if int(particles.capacity) <= min(BLOCK_CAP_LIMIT, 2 ** 24):
             # block-sweep chunk budget from the measured initial cover with
             # 2x headroom (compression during impact grows neighbor counts
             # and therefore chunks; max_chunks telemetry retunes on overflow)
@@ -245,20 +252,32 @@ def build_simulation(
 
 
 def _overflow_reason(cfg: StepConfig, state) -> Optional[str]:
-    """Non-None when the interval ran with overflowed neighbor windows."""
-    mpc_budget = cfg.mpc if cfg.use_pallas else cfg.cseg // 3
+    """Non-None when the interval ran with overflowed neighbor windows.
+
+    Only budgets a LIVE consumer reads can invalidate an interval: on the
+    block-sweep path (ct_cap > 0) the chunk table replaces the mpc/cseg
+    candidate windows and the maxc program grid entirely - their only
+    remaining consumer is the mDBC kernel (mpc/cseg; never maxc).  Checking
+    a dead budget would declare physically-correct results invalid and pay
+    a multi-minute recompile for nothing."""
+    from ..config import MDBCMode
+
+    block = bool(cfg.ct_cap)
+    mdbc_on = cfg.meta.mdbc is MDBCMode.SIMPLE
+    mpc_cseg_live = (not block) or mdbc_on
     occ = int(state.max_occupancy)
-    if occ > mpc_budget:
+    mpc_budget = cfg.mpc if cfg.use_pallas else cfg.cseg // 3
+    if mpc_cseg_live and occ > mpc_budget:
         return (
             f"cell occupancy {occ} exceeded the static budget {mpc_budget}; "
             f"set SimulationMetaData.max_per_cell >= {occ}"
         )
-    if cfg.use_pallas and int(state.max_segment) > cfg.cseg:
+    if cfg.use_pallas and mpc_cseg_live and int(state.max_segment) > cfg.cseg:
         return (
             f"stencil-row segment {int(state.max_segment)} exceeded the "
             f"candidate window {cfg.cseg}; raise max_per_cell"
         )
-    if cfg.use_pallas and int(state.occupied_cells) > cfg.maxc:
+    if cfg.use_pallas and not block and int(state.occupied_cells) > cfg.maxc:
         return (
             f"occupied cells {int(state.occupied_cells)} exceeded the "
             f"program-grid capacity {cfg.maxc}; raise max_occupied_cells"
@@ -359,7 +378,7 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
             ct_cap = max(-(-(need * 2 + 1024) // 1024) * 1024, ct_cap)
             from ..ops.pallas_block_sweep import BLOCK_CAP_LIMIT
 
-            if new_cap > BLOCK_CAP_LIMIT or ct_cap >= 2 ** 24:
+            if new_cap > min(BLOCK_CAP_LIMIT, 2 ** 24) or ct_cap >= 2 ** 24:
                 # grown past the block kernel's encoding budget: fall back
                 # to the cell-pair kernel for the rest of the run
                 ct_cap = 0
@@ -467,12 +486,16 @@ class _AsyncSaver:
                 if self._wd is not None:
                     self._wd.arm(f"snapshot {item[0]}")
                 self._cb(*item)
-                if self._wd is not None:
-                    self._wd.disarm()
             except BaseException as e:  # noqa: BLE001 - surfaced on main thread
                 self._err = e
                 return
             finally:
+                # disarm on EVERY exit: a save exception leaving the
+                # watchdog armed would fire a bogus "device call hung"
+                # (or an os._exit(86) in hard mode) that masks the real
+                # error close() is about to raise
+                if self._wd is not None:
+                    self._wd.disarm()
                 self._q.task_done()
 
     def __call__(self, counter, state):
@@ -495,15 +518,31 @@ class _AsyncSaver:
     def close(self):
         # after a worker exception the thread has exited without draining:
         # an unconditional blocking put on the bounded queue would turn a
-        # save failure into a hang (advisor finding, round 2)
-        if self._err is None:
+        # save failure into a hang (advisor finding, round 2).  A healthy
+        # but slow worker (tunneled transfers run minutes) must instead be
+        # WAITED for - silently returning with snapshots still queued would
+        # drop the final output intervals with exit code 0.
+        import queue as _queue
+
+        import time as _time
+
+        deadline = _time.monotonic() + 1800.0
+        while (self._err is None and self._t.is_alive()
+               and _time.monotonic() < deadline):
             try:
                 self._q.put(None, timeout=60.0)
-            except Exception:
-                pass
-        self._t.join(timeout=300.0)
+                break
+            except _queue.Full:
+                continue  # worker alive and draining: keep waiting
+        while self._t.is_alive() and _time.monotonic() < deadline:
+            self._t.join(timeout=60.0)
         if self._err is not None:
             raise RuntimeError("async save failed") from self._err
+        if self._t.is_alive() or not self._q.empty():
+            raise RuntimeError(
+                "async saver did not drain within 30 min: "
+                "snapshots would be lost (stalled transfer?)"
+            )
 
 
 def run_simulation(
@@ -605,11 +644,15 @@ def run_simulation(
             if max_intervals is not None and intervals >= max_intervals:
                 break
     finally:
-        if isinstance(saver, _AsyncSaver):
-            with hourglass.section("13 Save Particle Data"):
-                saver.close()
-        if save_wd is not None:
-            save_wd.stop()
+        try:
+            if isinstance(saver, _AsyncSaver):
+                with hourglass.section("13 Save Particle Data"):
+                    saver.close()
+        finally:
+            # stop the watchdog even when close() raises - a still-armed
+            # hard watchdog would os._exit(86) over the real error
+            if save_wd is not None:
+                save_wd.stop()
 
     sim.state = state
     return sim

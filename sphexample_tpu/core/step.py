@@ -135,8 +135,10 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     p = state.particles
 
     # 00 - displacement accumulator: dx += 4 * max |pos_half - pos|
-    disp = jnp.sqrt(jnp.sum((state.position_half - p.position) ** 2, axis=-1))
-    dx_acc = dx_acc + 4.0 * ctx.pmax(jnp.max(disp))
+    # (sqrt AFTER the max: monotone + correctly rounded, so the scalar sqrt
+    # is bitwise-identical to max(elementwise sqrt) at a lane's cost)
+    disp2 = jnp.sum((state.position_half - p.position) ** 2, axis=-1)
+    dx_acc = dx_acc + 4.0 * jnp.sqrt(ctx.pmax(jnp.max(disp2)))
 
     # 01 - adaptive dt
     dt = adaptive_dt(p.position, p.velocity, p.acceleration, c, kern, ctx)
@@ -386,10 +388,12 @@ def _check_interval_progress(state: SimulationState, t_out, it_before: int) -> N
     A NaN ``total_time`` makes the while-loop cond (``t <= t_out``) false, so
     a chunk returns instantly having taken zero steps — and the host exit test
     (``t > t_out``) is also false for NaN, which used to busy-loop forever."""
+    import math
+
     t = float(state.total_time)
-    if t != t:  # NaN
+    if not math.isfinite(t):  # NaN, or +inf via f32 overflow without a NaN
         raise FloatingPointError(
-            f"simulation diverged: total_time is NaN at iteration "
+            f"simulation diverged: total_time is {t} at iteration "
             f"{int(state.iteration)}"
         )
     if t <= float(t_out) and int(state.iteration) == it_before:
@@ -413,10 +417,16 @@ def make_interval_fn(cfg: StepConfig):
     many minutes can trip remote-worker watchdogs (observed on the tunneled
     TPU), and the cap also keeps the host responsive.
     """
+    return make_chunk_loop(cfg, jax.jit(make_chunk_body(cfg)))
+
+
+def make_chunk_body(cfg: StepConfig):
+    """The bounded step while-loop of ONE device program - shared verbatim
+    by the single-chip (jit) and sharded (shard_map) interval functions so
+    the ``max_steps_per_call`` semantics can never diverge between them."""
     cap = cfg.meta.max_steps_per_call
 
-    @jax.jit
-    def chunk(state: SimulationState, t_out, dx_acc):
+    def chunk_body(state: SimulationState, t_out, dx_acc):
         def cond(carry):
             s, _, k = carry
             ok = s.total_time <= t_out
@@ -434,7 +444,7 @@ def make_interval_fn(cfg: StepConfig):
         )
         return final, dx_out
 
-    return make_chunk_loop(cfg, chunk)
+    return chunk_body
 
 
 def make_chunk_loop(cfg: StepConfig, chunk):

@@ -21,7 +21,10 @@ def _lattice(n, dx):
 def dam_break_3d(dx: float = 0.0085):
     """Returns (position, density, ptype, group_marker, idp) host arrays."""
     Lx, Ly, Lz = 1.60, 0.67, 0.45
-    Fx, Fy, Fz = 0.40, 0.65, 0.30
+    # the column spans the FULL tank width minus one lattice gap per side
+    # (~0.65 m at these dims, matching the reference CSV) - there is no
+    # independent y-extent knob, so none is declared
+    Fx, Fz = 0.40, 0.30
 
     nx, ny, nz = int(round(Lx / dx)), int(round(Ly / dx)), int(round(Lz / dx))
     gx, gy, gz = _lattice(nx, dx), _lattice(ny, dx), _lattice(nz, dx)

@@ -68,6 +68,13 @@ def load_checkpoint(path: str, template: SimulationState) -> Tuple[SimulationSta
     every interval rebuilds them from ``cell_start``.
     """
     data = np.load(path)
+    try:
+        return _load_into(data, template)
+    finally:
+        data.close()
+
+
+def _load_into(data, template: SimulationState) -> Tuple[SimulationState, int]:
     if "capacity" not in data:
         # legacy format: positional leaves, exact shapes required
         leaves, treedef = jax.tree.flatten(template)
@@ -149,7 +156,11 @@ def resume_simulation(sim, path: str):
     """
     import dataclasses as _dc
 
-    data = np.load(path)
+    # read only the scalar window metadata here (and close the npz - the
+    # leaves are loaded once, by load_checkpoint below)
+    with np.load(path) as npz:
+        meta_keys = ("mpc", "cseg", "maxc", "capacity", "ct_cap")
+        data = {k: int(npz[k]) for k in meta_keys if k in npz}
     if "mpc" in data and getattr(sim.cfg, "use_pallas", False):
         mpc = max(int(data["mpc"]), sim.cfg.mpc)
         cseg = max(int(data["cseg"]), sim.cfg.cseg)

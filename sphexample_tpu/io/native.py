@@ -44,9 +44,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
-            if not os.path.exists(_SRC_PATH) or not _build():
-                return None
+        # rebuild when the source is newer than the cached .so - an
+        # existence-only check would silently keep serving a stale parser
+        # after a fastcsv.cpp fix
+        have_src = os.path.exists(_SRC_PATH)
+        stale = (
+            not os.path.exists(_LIB_PATH)
+            or (have_src
+                and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH))
+        )
+        if stale and (not have_src or not _build()):
+            if not os.path.exists(_LIB_PATH):
+                return None  # nothing to load; callers fall back to numpy
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

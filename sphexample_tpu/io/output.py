@@ -87,26 +87,10 @@ class OutputManager:
                     self.grid_writer.append(t, self.kernel.H, cells, chunk_ids)
                 else:
                     # multi-file grid snapshots (reference SaveCellGridVTKHDF)
-                    pts3, offsets, vtk_type, ids = vh.compute_grid_geometry(self.kernel.H, cells)
-                    import h5py
-
-                    with h5py.File(f"{self.base}_GridCells_{counter:06d}.vtkhdf", "w") as f:
-                        root = f.create_group("VTKHDF")
-                        root.attrs.create("Version", np.asarray([2, 3], dtype=np.int32))
-                        vh._ascii_attr(root, "Type", "UnstructuredGrid")
-                        root.create_dataset("NumberOfPoints", data=np.asarray([len(pts3)], dtype=vh.ID_T))
-                        root.create_dataset("NumberOfCells", data=np.asarray([len(cells)], dtype=vh.ID_T))
-                        root.create_dataset(
-                            "NumberOfConnectivityIds", data=np.asarray([len(pts3)], dtype=vh.ID_T)
-                        )
-                        root.create_dataset("Points", data=pts3)
-                        root.create_dataset("Connectivity", data=np.arange(len(pts3), dtype=vh.ID_T))
-                        root.create_dataset("Offsets", data=offsets)
-                        root.create_dataset("Types", data=np.full(len(cells), vtk_type, dtype=np.uint8))
-                        cg = root.create_group("CellData")
-                        cg.create_dataset("CellData", data=ids)
-                        cg.create_dataset("ChunkID", data=chunk_ids.astype(vh.ID_T))
-                        root.create_group("FieldData")
+                    vh.save_grid_snapshot(
+                        f"{self.base}_GridCells_{counter:06d}.vtkhdf",
+                        self.kernel.H, cells, chunk_ids,
+                    )
 
     def _occupied_cells(self, state: SimulationState):
         """Occupied-cell coords + the compute block owning each cell's first

@@ -25,7 +25,7 @@ paraview.compatibility.minor = 12
 directory = {directory!r}
 
 import os
-regex = r{regex!r}
+regex = {regex!r}
 file_list = [os.path.join(directory, f) for f in os.listdir(directory) if re.search(regex, f)]
 
 from paraview.simple import *
@@ -61,13 +61,18 @@ def write_paraview_state(
     color_variable: str = "Density",
 ) -> str:
     """Write the state file next to the outputs; returns its path."""
+    import re as _re
+
     base = os.path.join(meta.save_location, meta.simulation_name)
+    # the name is interpolated into a regex inside the generated script:
+    # escape it (names like "run(3)" or "v1.2" would match nothing or crash)
+    name_re = _re.escape(meta.simulation_name)
     if meta.export_single_vtkhdf:
         path = base + "_SingleVTKHDFStateFile.py"
-        regex = f"{meta.simulation_name}.vtkhdf"
+        regex = f"^{name_re}\\.vtkhdf$"
     else:
         path = base + "_StateFile.py"
-        regex = f"^{meta.simulation_name}_(\\d+).vtk"
+        regex = f"^{name_re}_(\\d+)\\.vtk"
 
     content = _TEMPLATE.format(
         directory=meta.save_location,

@@ -95,9 +95,17 @@ class TransientPolyDataWriter:
             self.steps = self.root["Steps"]
             missing = [n for n in self.variable_names
                        if n not in self.root["PointData"]]
-            if missing:
+            # extra file variables are just as fatal: append/truncate loop
+            # only over variable_names, so a dropped variable's data and
+            # offsets would silently stop tracking NSteps (garbage reads)
+            extra = [n for n in self.root["PointData"]
+                     if n not in self.variable_names]
+            if missing or extra:
                 raise ValueError(
-                    f"cannot append to {path}: variables {missing} not in file"
+                    f"cannot append to {path}: output variables "
+                    f"{self.variable_names} != file variables "
+                    f"{list(self.root['PointData'])} (resume with the same "
+                    "output_variables the file was written with)"
                 )
             return
         self.file = h5py.File(path, "w", locking=False)
@@ -157,10 +165,7 @@ class TransientPolyDataWriter:
             _append(steps["PointDataOffsets"][name], np.asarray([start], dtype=ID_T))
             arr = data[name]
             ds = root["PointData"][name]
-            if arr.ndim == 1:
-                _append(ds, arr.astype(ds.dtype))
-            else:
-                _append(ds, arr.astype(ds.dtype))
+            _append(ds, arr.astype(ds.dtype))  # scalar [n] and vector [n, 3] alike
 
         # transient PolyData keeps all topology groups empty (zeros appended,
         # reference :318-324); ParaView renders points via PointGaussian.
@@ -268,6 +273,35 @@ def save_polydata_snapshot(path: str, points3d: np.ndarray, data: Dict[str, np.n
             g2.create_dataset("NumberOfConnectivityIds", data=np.asarray([0], dtype=ID_T))
             g2.create_dataset("Connectivity", data=np.zeros(0, dtype=ID_T))
             g2.create_dataset("Offsets", data=np.asarray([0], dtype=ID_T))
+
+
+def save_grid_snapshot(path: str, H: float, cells: np.ndarray,
+                       chunk_ids: np.ndarray):
+    """Multi-file mode: one UnstructuredGrid file of occupied cells
+    (reference SaveCellGridVTKHDF, ProduceHDFVTK.jl:330-365).  Owns the
+    format beside :func:`save_polydata_snapshot` / the transient writers -
+    any VTKHDF layout change happens in this module only."""
+    pts3, offsets, vtk_type, ids = compute_grid_geometry(H, cells)
+    with h5py.File(path, "w", locking=False) as f:
+        root = f.create_group("VTKHDF")
+        root.attrs.create("Version", np.asarray([2, 3], dtype=np.int32))
+        _ascii_attr(root, "Type", "UnstructuredGrid")
+        root.create_dataset("NumberOfPoints",
+                            data=np.asarray([len(pts3)], dtype=ID_T))
+        root.create_dataset("NumberOfCells",
+                            data=np.asarray([len(cells)], dtype=ID_T))
+        root.create_dataset("NumberOfConnectivityIds",
+                            data=np.asarray([len(pts3)], dtype=ID_T))
+        root.create_dataset("Points", data=pts3)
+        root.create_dataset("Connectivity",
+                            data=np.arange(len(pts3), dtype=ID_T))
+        root.create_dataset("Offsets", data=offsets)
+        root.create_dataset("Types",
+                            data=np.full(len(cells), vtk_type, dtype=np.uint8))
+        cg = root.create_group("CellData")
+        cg.create_dataset("CellData", data=ids)
+        cg.create_dataset("ChunkID", data=chunk_ids.astype(ID_T))
+        root.create_group("FieldData")
 
 
 def compute_grid_geometry(H: float, cells: np.ndarray):

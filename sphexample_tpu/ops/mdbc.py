@@ -122,6 +122,16 @@ def mdbc_density_correction(
         # fused cell kernel for the moment accumulation (the gather loop
         # below is the mdbc analog of the slow XLA sweep); fluid-only test
         # rides the motion-limiter field (ml == 1 <=> FLUID).
+        if global_position is not None or global_density is not None \
+                or global_ptype is not None:
+            # the kernel reads the LOCAL particle fields: silently dropping
+            # gathered global arrays would index a global cell_start into a
+            # local slab and clamp into wrong-but-finite boundary densities
+            raise ValueError(
+                "mdbc_density_correction(use_pallas=True) does not take "
+                "global_* overrides; use the gather path or "
+                "mdbc_density_correction_sharded"
+            )
         from .pallas_mdbc import pallas_mdbc_moments
 
         bvec, Amat = pallas_mdbc_moments(

@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..core.driver import Simulation
-from ..core.step import StepConfig, sph_step
+from ..core.step import StepConfig
 from ..state import (BlockTables, PallasTables, Particles, SimulationState,
                      empty_block_tables, empty_pallas_tables)
 from .context import CommContext
@@ -107,28 +107,10 @@ def make_sharded_interval_fn(cfg: StepConfig, mesh: Mesh, axis: str = AXIS):
     cfg = dataclasses.replace(cfg, ctx=ctx)
     specs = state_specs(axis)
 
-    cap = cfg.meta.max_steps_per_call
-
-    def chunk_body(state: SimulationState, t_out, dx_acc):
-        def cond(carry):
-            s, _, k = carry
-            ok = s.total_time <= t_out
-            if cap is not None:
-                ok = ok & (k < cap)
-            return ok
-
-        def body(carry):
-            s, dxa, k = carry
-            s2, dxa2 = sph_step(cfg, s, dxa)
-            return s2, dxa2, k + 1
-
-        final, dx_out, _ = jax.lax.while_loop(
-            cond, body, (state, dx_acc, jnp.zeros((), jnp.int32))
-        )
-        return final, dx_out
+    from ..core.step import make_chunk_body
 
     sharded_chunk = jax.jit(shard_map(
-        chunk_body,
+        make_chunk_body(cfg),
         mesh=mesh,
         in_specs=(specs, P(), P()),
         out_specs=(specs, P()),

@@ -76,6 +76,13 @@ def profile_stages(cfg, state, iters: int = 10) -> Dict[str, float]:
     from ..ops.timestep import adaptive_dt
 
     spec, kern, c = cfg.spec, cfg.spec.kernel, cfg.spec.constants
+    if cfg.ctx.is_sharded:
+        # the stage probes run plain jits: a sharded ctx's collectives are
+        # unbound outside shard_map and would crash mid-profile
+        raise ValueError(
+            "profile_stages supports single-chip configs only; profile the "
+            "sharded run with --profile (jax-profiler trace) instead"
+        )
     p0 = state.particles
 
     def timed(name, fn, *args):
@@ -95,7 +102,7 @@ def profile_stages(cfg, state, iters: int = 10) -> Dict[str, float]:
         "dt", lambda pp: adaptive_dt(pp.position, pp.velocity, pp.acceleration, c, kern), p0
     )
     results["02 Update Neighbors (sort)"] = timed(
-        "rebuild", lambda pp: cl.rebuild(pp, kern.H_inv, cfg.grid, cfg.ctx), p0
+        "rebuild", lambda pp: cl.rebuild(pp, kern.H_inv, cfg.grid), p0
     )
     p, cell_start, _ = jax.jit(lambda pp: cl.rebuild(pp, kern.H_inv, cfg.grid))(p0)
     results["03 Pressure (EOS)"] = timed(

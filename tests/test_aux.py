@@ -477,6 +477,10 @@ def test_checkpoint_across_retune(tmp_path):
             simulation_name="ckrt", save_location=str(tmp_path), dims=2,
             simulation_time=0.03, output_times=0.01, max_per_cell=8,
             block_size=64, dtype="float64", use_pallas=True,
+            # the cell-pair path: mpc is a LIVE budget there, so the
+            # occupancy overflow fires the retune this test needs (on the
+            # block path mpc has no consumer and is deliberately unchecked)
+            block_sweep=False,
         )
         sim = assemble_simulation(
             pos, np.full(400, const.rho0), np.ones(400, np.int32),
@@ -577,3 +581,59 @@ def test_block_cap_limit_falls_back_to_cell_pair(tmp_path, monkeypatch):
     assert sim2.state.particles.capacity > 128  # the limit really binds
     assert sim2.cfg.ct_cap == 0  # block path disabled -> cell-pair kernel
     assert sim2.state.pallas_tables.prog_slot.shape[0] > 0
+
+
+def test_overflow_check_ignores_dead_budgets():
+    """On the block-sweep path with mDBC off nothing consumes mpc/cseg/maxc;
+    an occupancy spike must not invalidate a physically-correct interval
+    (each invalidation costs a recompile + replay).  Chunk-table overflow -
+    the live budget - must still be detected."""
+    import numpy as np
+
+    from sphexample_tpu.core.driver import _overflow_reason
+
+    rng = np.random.default_rng(5)
+    const = SimulationConstants(dx=0.02, c0=40.0, cfl=0.3)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+    pos = rng.uniform(0, 0.3, size=(300, 2))
+    meta = SimulationMetaData(
+        simulation_name="deadbudget", save_location=".", dims=2,
+        dtype="float64", use_pallas=True, block_sweep=True,
+    )
+    sim = assemble_simulation(
+        pos, np.full(300, const.rho0), np.ones(300, np.int32),
+        np.ones(300, np.int32), np.arange(1, 301),
+        meta, const, kern, ViscosityModel.ARTIFICIAL,
+        DensityDiffusionModel.ZERO,
+    )
+    assert sim.cfg.ct_cap > 0, "block path not engaged"
+    big = jnp.asarray(10 ** 6, jnp.int32)
+    spiked = sim.state.replace(
+        max_occupancy=big, max_segment=big, occupied_cells=big
+    )
+    assert _overflow_reason(sim.cfg, spiked) is None
+    chunked = spiked.replace(
+        max_chunks=jnp.asarray(sim.cfg.ct_cap + 1, jnp.int32)
+    )
+    assert _overflow_reason(sim.cfg, chunked) is not None
+
+
+def test_paraview_state_regex_matches_tricky_names(tmp_path):
+    """The simulation name is interpolated into a regex inside the generated
+    ParaView script: metacharacters ('run(3)', 'v1.2', 'dam+break') must be
+    escaped or the state file loads no files (or crashes re.search)."""
+    import re
+
+    from sphexample_tpu.io.paraview import write_paraview_state
+
+    for name, single in [("StillWedge", True), ("dam+break", True),
+                         ("run(3)", False), ("v1.2", False)]:
+        meta = SimulationMetaData(
+            simulation_name=name, save_location=str(tmp_path),
+            export_single_vtkhdf=single,
+        )
+        src = open(write_paraview_state(meta)).read()
+        rx = eval(re.search(r"regex = (.+)", src).group(1))
+        target = f"{name}.vtkhdf" if single else f"{name}_000001.vtk"
+        assert re.search(rx, target), (name, rx)
+        assert not re.search(rx, f"other_{name}x.notvtk"), (name, rx)
