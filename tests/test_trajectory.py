@@ -3,7 +3,7 @@
 ``reference_impl.reference_run`` transcribes the reference SimulationLoop
 (SPHCellList.jl:727-805) stage by stage in numpy/f64 — adaptive dt, lazy
 rebuild, motion, mDBC, both sweeps, clamps, DensityEpsi, shifting — and these
-tests pin >=40-step trajectories of ``sph_step`` against it in f64.  This is
+tests pin >=50-step trajectories of ``sph_step`` against it in f64.  This is
 the multi-step oracle VERDICT r3 asked for: the step *ordering* itself is
 validated against an independent transcription, not just the pair sweeps.
 """
@@ -31,7 +31,7 @@ from sphexample_tpu.core.step import make_fixed_steps_fn
 
 from reference_impl import reference_run
 
-N_STEPS = 40
+N_STEPS = 50
 # Keep lattice coordinates OFF the map_floor half-integer rounding boundary:
 # positions with |x|*H_inv + 0.5 exactly on an integer (e.g. m*dx on a
 # dx-multiple cell pitch) flip cells on the last ulp between numpy's
@@ -161,6 +161,50 @@ def test_trajectory_dam_break_3d_mini():
     _compare(fw, ref)
     # the fluid actually fell
     assert fw["vel"][nb:, 2].min() < -0.05
+
+
+@pytest.mark.slow
+def test_trajectory_cubic_tensile_zglinear():
+    """Mini 2D collapse on the CUBIC SPLINE kernel: tensile correction active
+    (SPHKernels.jl:89-126) + ZeroGravityLinear diffusion
+    (SPHDensityDiffusionModels.jl:112-130) + laminar viscosity — the physics
+    families the other three oracles don't touch."""
+    const = SimulationConstants(dx=0.02, c0=40.0, cfl=0.3)
+    kern = make_kernel(KernelFamily.CUBIC_SPLINE, 2, dx=const.dx)
+    dx = const.dx
+
+    xs, zs = np.meshgrid(np.arange(10), np.arange(10), indexing="ij")
+    fluid = np.stack([xs.ravel() * dx, zs.ravel() * dx + dx], axis=-1)
+    floor_x = np.arange(-4, 14) * dx
+    floor = np.stack([floor_x, np.zeros_like(floor_x)], axis=-1)
+    pos = np.concatenate([floor, fluid]) + OFF
+    nb = len(floor)
+    n = len(pos)
+    ptype = np.concatenate([np.full(nb, 2), np.full(len(fluid), 1)]).astype(np.int32)
+    gm = np.concatenate([np.full(nb, 1), np.full(len(fluid), 2)]).astype(np.int32)
+    ids = np.arange(1, n + 1)
+    dens0 = np.full(n, const.rho0)
+
+    meta = SimulationMetaData(
+        simulation_name="traj_cubic", save_location=".", dims=2,
+        dtype="float64", grid_margin_cells=4,
+    )
+    sim = assemble_simulation(
+        pos, dens0, ptype, gm, ids, meta, const, kern,
+        ViscosityModel.LAMINAR, DensityDiffusionModel.ZERO_GRAVITY_LINEAR,
+    )
+    fw = _run_framework(sim, N_STEPS)
+
+    ref = reference_run(
+        kernel_family="cubic", kern=kern, const=const,
+        viscosity="laminar", diffusion="zero_gravity_linear",
+        shifting=False, kernel_output=False, mdbc=False, motion={},
+        pos=pos, dens=dens0, ptype=ptype, group_marker=gm, ids=ids,
+        ghost_points=np.zeros_like(pos), n_steps=N_STEPS,
+    )
+    _compare(fw, ref)
+    # the fluid actually fell onto the floor
+    assert fw["vel"][nb:, 1].min() < -0.05
 
 
 @pytest.mark.slow
