@@ -114,3 +114,24 @@ class OutputManager:
             self.particle_writer.close()
         if self.grid_writer is not None:
             self.grid_writer.close()
+
+
+def make_save_callback(sim, resume_counter: Optional[int] = None):
+    """Convenience wrapper: build an :class:`OutputManager` from an assembled
+    ``Simulation`` and return a ``save(counter, state)`` callable suitable for
+    ``run_simulation(sim, save_callback=...)``.
+
+    The returned callable carries ``.manager`` (the OutputManager) and
+    ``.close()``; call ``close()`` after the run to flush the VTKHDF files.
+    The reference analog is the ``save_particles`` closure returned by
+    ``SetupVTKOutput`` (``src/ProduceHDFVTK.jl:461-621``).
+    """
+    out = OutputManager(sim.meta, sim.cfg.spec.kernel, sim.cfg.grid, sim.n_live,
+                        resume_counter=resume_counter)
+
+    def save(counter: int, state: SimulationState):
+        out.save(counter, state)
+
+    save.manager = out
+    save.close = out.close
+    return save

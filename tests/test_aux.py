@@ -112,6 +112,25 @@ def test_output_manager_and_paraview(tmp_path):
     assert "Point Gaussian" in content
 
 
+def test_make_save_callback_quickstart(tmp_path):
+    """The docs/API.md quick-start path: make_save_callback(sim) -> run ->
+    close, producing the same transient VTKHDF file as OutputManager."""
+    from sphexample_tpu.io.output import make_save_callback
+
+    sim, meta, kern = _small_sim(tmp_path, t_end=0.02)
+    save = make_save_callback(sim)
+    run_simulation(sim, save_callback=save, max_intervals=2)
+    save.close()
+
+    import h5py
+
+    with h5py.File(os.path.join(str(tmp_path), "aux.vtkhdf")) as f:
+        r = f["VTKHDF"]
+        assert r.attrs["Type"] == b"PolyData"
+        assert r["Steps"].attrs["NSteps"] == 3
+        assert r["NumberOfPoints"][0] == sim.n_live
+
+
 def test_output_time_scheduling():
     # scalar interval: counter * interval (reference SPHCellList.jl:689)
     meta = SimulationMetaData(
