@@ -262,6 +262,13 @@ def _overflow_reason(cfg: StepConfig, state) -> Optional[str]:
     a multi-minute recompile for nothing."""
     from ..config import MDBCMode
 
+    esc = int(state.grid_escapes)
+    if esc > 0:
+        return (
+            f"{esc} particle(s) escaped the static cell grid and were "
+            f"clamped into edge cells (wrong physics); re-grid with a "
+            f"larger bounding box or raise grid_margin_cells"
+        )
     block = bool(cfg.ct_cap)
     mdbc_on = cfg.meta.mdbc is MDBCMode.SIMPLE
     mpc_cseg_live = (not block) or mdbc_on
@@ -297,6 +304,39 @@ def _overflow_reason(cfg: StepConfig, state) -> Optional[str]:
     return None
 
 
+def _regrow_grid(cfg: StepConfig, failed_state, margin_cells: int) -> cl.Grid:
+    """Union of the current grid and the escaped configuration's bounding box
+    (plus margin): covers wherever the failed interval's particles actually
+    went.  The reference's Dict grid is unbounded (SPHCellList.jl:144-162);
+    this is the static-grid analog - grow, replay, carry on."""
+    p = jax.device_get(failed_state.particles)
+    act = np.asarray(p.active)
+    pos = np.asarray(p.position)[act]
+    if not np.all(np.isfinite(pos)):
+        raise FloatingPointError(
+            "simulation diverged: non-finite particle positions at the "
+            "grid-escape re-grid"
+        )
+    esc_grid = cl.grid_from_positions(pos, cfg.spec.kernel.H_inv, margin_cells)
+    cmin = tuple(min(a, b) for a, b in zip(cfg.grid.cmin, esc_grid.cmin))
+    cmax = tuple(
+        max(a + s - 1, b + t - 1)
+        for a, s, b, t in zip(cfg.grid.cmin, cfg.grid.shape,
+                              esc_grid.cmin, esc_grid.shape)
+    )
+    new_grid = cl.Grid(
+        cmin=cmin, shape=tuple(hi - lo + 1 for lo, hi in zip(cmin, cmax))
+    )
+    if new_grid.ncells > max(8 * cfg.grid.ncells, 2 ** 24):
+        raise RuntimeError(
+            f"grid-escape re-grid would need {new_grid.ncells} cells "
+            f"({new_grid.shape}, was {cfg.grid.shape}): particles are far "
+            f"outside the simulation domain - this is almost certainly a "
+            f"diverged simulation, not a domain-sizing problem"
+        )
+    return new_grid
+
+
 def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, object]":
     """Grow the static neighbor windows to fit the observed telemetry of the
     failed interval, re-jit, and return (sim, pre-interval state) for replay."""
@@ -308,6 +348,10 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
     seg = int(failed_state.max_segment)
     ncc = int(failed_state.occupied_cells)
     cfg = sim.cfg
+    esc = int(failed_state.grid_escapes)
+    new_grid = cfg.grid
+    if esc > 0:
+        new_grid = _regrow_grid(cfg, failed_state, sim.meta.grid_margin_cells)
     if cfg.ctx.is_sharded:
         # pull the pre-interval state to host, grow the windows AND the halo,
         # re-shard over the same mesh, and replay - the sharded analog of the
@@ -334,18 +378,26 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
             min_ct_cap = max(int(failed_state.max_chunks) * 2, cfg.ct_cap)
 
         host_state = jax.device_get(prev_state)
+        if esc > 0:
+            # re-grid: shard_simulation rebuilds cell_start and all tables
+            # from the cfg grid, so only the shape-bearing leaves need fixing
+            host_state = host_state.replace(
+                cell_start=jnp.zeros((new_grid.ncells + 2,), jnp.int32),
+            )
         single_cfg = _dc.replace(
-            cfg, mpc=mpc, cseg=cseg, maxc=maxc, ctx=SINGLE, halo=0
+            cfg, mpc=mpc, cseg=cseg, maxc=maxc, ctx=SINGLE, halo=0,
+            grid=new_grid,
         )
         base = Simulation(
             cfg=single_cfg, state=host_state, meta=sim.meta, n_live=sim.n_live
         )
         print(
             f"[sphexample_tpu] sharded neighbor windows outgrown (occ {occ}, "
-            f"seg {seg}, cells {ncc}, halo {halo_need}/{cfg.halo}); retuning "
-            f"mpc {cfg.mpc}->{mpc}, cseg {cfg.cseg}->{cseg}, maxc "
-            f"{cfg.maxc}->{maxc}, halo >= {min_halo}, re-sharding over "
-            f"{ndev} devices and replaying the interval",
+            f"seg {seg}, cells {ncc}, halo {halo_need}/{cfg.halo}, grid "
+            f"escapes {esc}); retuning mpc {cfg.mpc}->{mpc}, cseg "
+            f"{cfg.cseg}->{cseg}, maxc {cfg.maxc}->{maxc}, halo >= "
+            f"{min_halo}, grid {cfg.grid.shape}->{new_grid.shape}, "
+            f"re-sharding over {ndev} devices and replaying the interval",
             file=sys.stderr,
         )
         new_sim = shard_simulation(base, make_mesh(ndev), min_halo=min_halo,
@@ -359,7 +411,7 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
         # lanes cost VMEM but repeated recompiles cost minutes (1.5x).
         mpc = max(-(-(int(occ * 2.0) + 2) // 8) * 8, cfg.mpc)
         cseg = max(-(-(int(max(seg, 3 * occ) * 1.5) + 2) // 128) * 128, cfg.cseg)
-        maxc = min(cfg.grid.ncells, ncc * 2 + 256)
+        maxc = min(new_grid.ncells, ncc * 2 + 256)
         cwin = -(-(cseg + mpc) // 128) * 128 + 128
         new_cap = max(
             prev_state.particles.capacity,
@@ -384,9 +436,11 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
                 ct_cap = 0
         prev_state = pad_capacity(prev_state, new_cap)
         new_cfg = _dc.replace(cfg, mpc=mpc, cseg=cseg,
-                              maxc=max(maxc, cfg.maxc), ct_cap=ct_cap)
-        # the tables are shaped by (maxc, mpc / ct_cap, capacity): re-init to
-        # the new shapes (the replayed interval's first step rebuilds them)
+                              maxc=max(maxc, cfg.maxc), ct_cap=ct_cap,
+                              grid=new_grid)
+        # the tables are shaped by (maxc, mpc / ct_cap, capacity) and the
+        # grid: re-init to the new shapes (the replayed interval's first
+        # step rebuilds them)
         if ct_cap:
             from ..ops.pallas_block_sweep import init_block_tables
 
@@ -399,15 +453,26 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
 
             prev_state = prev_state.replace(
                 pallas_tables=init_program_tables(
-                    cfg.grid, new_cfg.maxc, sweep_rows(new_cfg.mpc), new_cap
+                    new_cfg.grid, new_cfg.maxc, sweep_rows(new_cfg.mpc),
+                    new_cap
                 )
             )
     else:
         mpc = int(occ * 1.25) + 2
-        new_cfg = _dc.replace(cfg, cseg=3 * mpc)
+        new_cfg = _dc.replace(cfg, cseg=max(3 * mpc, cfg.cseg), grid=new_grid)
 
-    if (new_cfg.mpc, new_cfg.cseg, new_cfg.maxc, new_cfg.ct_cap) == (
-            cfg.mpc, cfg.cseg, cfg.maxc, cfg.ct_cap):
+    if esc > 0:
+        # replay starts from the pre-interval state on the grown grid: the
+        # old cell_start shape belongs to the old grid, and the escape count
+        # was measured against it
+        prev_state = prev_state.replace(
+            cell_start=jnp.zeros((new_grid.ncells + 2,), jnp.int32),
+            grid_escapes=jnp.zeros((), jnp.int32),
+        )
+
+    if (new_cfg.mpc, new_cfg.cseg, new_cfg.maxc, new_cfg.ct_cap,
+            new_cfg.grid) == (cfg.mpc, cfg.cseg, cfg.maxc, cfg.ct_cap,
+                              cfg.grid):
         raise RuntimeError(
             "neighbor-window retune made no progress; raise max_per_cell manually"
         )
@@ -415,9 +480,11 @@ def _retune(sim: Simulation, prev_state, failed_state) -> "tuple[Simulation, obj
 
     print(
         f"[sphexample_tpu] neighbor windows outgrown (occ {occ}, seg {seg}, "
-        f"cells {ncc}, chunks {int(failed_state.max_chunks)}); retuning mpc "
+        f"cells {ncc}, chunks {int(failed_state.max_chunks)}, grid escapes "
+        f"{esc}); retuning mpc "
         f"{cfg.mpc}->{new_cfg.mpc}, cseg {cfg.cseg}->{new_cfg.cseg}, maxc "
-        f"{cfg.maxc}->{new_cfg.maxc}, ct_cap {cfg.ct_cap}->{new_cfg.ct_cap} "
+        f"{cfg.maxc}->{new_cfg.maxc}, ct_cap {cfg.ct_cap}->{new_cfg.ct_cap}, "
+        f"grid {cfg.grid.shape}->{new_cfg.grid.shape} "
         f"and replaying the interval (recompile)",
         file=sys.stderr,
     )

@@ -150,6 +150,16 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
     pallas_halo = cfg.use_pallas and ctx.is_sharded and cfg.halo > 0
 
     def do_rebuild(p_in):
+        # grid-escape telemetry: active particles whose UNCLAMPED cell coords
+        # fall outside the static grid would be silently clamped into edge
+        # cells (wrong physics - the reference's Dict grid is unbounded,
+        # SPHCellList.jl:144-162); count them so the driver can re-grid and
+        # replay the interval instead
+        raw = cl.cell_coords(p_in.position, kern.H_inv)
+        esc = ctx.psum(jnp.sum(
+            jnp.any(raw != cl.clamp_coords(raw, cfg.grid), axis=-1)
+            & p_in.active
+        ).astype(jnp.int32))
         if pallas_halo:
             # distributed rebuild: local stable sort + 1-hop row migration -
             # no global gather, no replicated argsort (O(C + halo) peak)
@@ -242,20 +252,20 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
         else:
             tables = state.pallas_tables
         return (sorted_p, cell_start, occ, seg, ncc, jnp.zeros_like(dx_acc),
-                tables, btables, halo_need)
+                tables, btables, halo_need, esc)
 
     def no_rebuild(p_in):
         return (p_in, state.cell_start, state.max_occupancy, state.max_segment,
                 state.occupied_cells, dx_acc, state.pallas_tables,
-                state.block_tables, state.max_halo)
+                state.block_tables, state.max_halo, state.grid_escapes)
 
-    p, cell_start, occ, seg, ncc, dx_acc, tables, btables, halo_need = jax.lax.cond(
-        dx_acc >= kern.h, do_rebuild, no_rebuild, p
-    )
+    (p, cell_start, occ, seg, ncc, dx_acc, tables, btables, halo_need,
+     escapes) = jax.lax.cond(dx_acc >= kern.h, do_rebuild, no_rebuild, p)
     occ = jnp.maximum(occ, state.max_occupancy)
     seg = jnp.maximum(seg, state.max_segment)
     ncc = jnp.maximum(ncc, state.occupied_cells)
     halo_need = jnp.maximum(halo_need, state.max_halo)
+    escapes = jnp.maximum(escapes, state.grid_escapes)
     mchunks = jnp.maximum(state.max_chunks, btables.chunk_total)
 
     # -- motion (first half, reference :765)
@@ -282,12 +292,15 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
                 )
             )
         else:
+            # global_* only under the sharded all-gather fallback: for the
+            # SINGLE ctx gather is identity, and handing the (non-None)
+            # locals to the pallas path trips its local-fields guard
             p = p.replace(
                 density=mdbc_density_correction(
                     spec, cfg.grid, cfg.cseg, p, cell_start, cfg.boundary_capacity,
-                    global_position=ctx.gather(p.position),
-                    global_density=ctx.gather(p.density),
-                    global_ptype=ctx.gather(p.ptype),
+                    global_position=ctx.gather(p.position) if ctx.is_sharded else None,
+                    global_density=ctx.gather(p.density) if ctx.is_sharded else None,
+                    global_ptype=ctx.gather(p.ptype) if ctx.is_sharded else None,
                     # the fused moment kernel serves BOTH single-chip sweep
                     # paths (it only needs the mpc/cseg windows, which every
                     # pallas config sizes) - tying it to the cell-pair path
@@ -378,6 +391,7 @@ def sph_step(cfg: StepConfig, state: SimulationState, dx_acc):
         max_halo=halo_need,
         block_tables=btables,
         max_chunks=mchunks,
+        grid_escapes=escapes,
     )
     return new_state, dx_acc
 

@@ -104,7 +104,7 @@ def _load_into(data, template: SimulationState) -> Tuple[SimulationState, int]:
             continue
         key = f"f::{kp}"
         if key not in data:
-            if "max_chunks" in kp:
+            if "max_chunks" in kp or "grid_escapes" in kp:
                 # telemetry scalar added after older checkpoints were written;
                 # zero re-accumulates at the next rebuild
                 restored.append(leaf)

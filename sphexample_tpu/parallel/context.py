@@ -47,6 +47,9 @@ class CommContext:
     def pmin(self, x):
         return x if self.axis is None else jax.lax.pmin(x, self.axis)
 
+    def psum(self, x):
+        return x if self.axis is None else jax.lax.psum(x, self.axis)
+
     def rank(self):
         return 0 if self.axis is None else jax.lax.axis_index(self.axis)
 

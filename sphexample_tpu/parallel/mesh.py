@@ -75,6 +75,7 @@ def state_specs(axis: str = AXIS) -> SimulationState:
             csr=P(axis), cer=P(axis), idx=P(axis), chunk_total=P(),
         ),
         max_chunks=P(),
+        grid_escapes=P(),
     )
 
 
@@ -324,7 +325,8 @@ def shard_simulation(sim: Simulation, mesh: Optional[Mesh] = None, axis: str = A
     # (or the single-chip run) - stale values would spuriously trip the
     # overflow check against the fresh halo/ct_cap on the first interval
     state = state.replace(max_chunks=jnp.zeros((), jnp.int32),
-                          max_halo=jnp.zeros((), jnp.int32))
+                          max_halo=jnp.zeros((), jnp.int32),
+                          grid_escapes=jnp.zeros((), jnp.int32))
     interval_fn, cfg = make_sharded_interval_fn(
         _dc.replace(cfg0, halo=halo, ct_cap=ct_cap_dev), mesh, axis
     )

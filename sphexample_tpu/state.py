@@ -228,3 +228,12 @@ class SimulationState:
     max_chunks: jax.Array = struct.field(
         default_factory=lambda: jnp.zeros((), jnp.int32)
     )
+    # Grid-escape telemetry: number of ACTIVE particles whose unclamped cell
+    # coords fell outside the static grid at any rebuild this interval.  The
+    # static grid clamps escapees into edge cells (ops/cell_list.clamp_coords)
+    # - silently wrong physics, unlike the reference's unbounded cell Dict
+    # (SPHCellList.jl:144-162) - so the driver treats any nonzero count like
+    # a window overflow: re-grid and replay the interval.
+    grid_escapes: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )

@@ -474,6 +474,72 @@ def test_auto_retune_pallas_tables(tmp_path):
     assert np.isfinite(np.asarray(sim.state.particles.density)).all()
 
 
+def test_grid_escape_trips_alarm_and_regrids(tmp_path):
+    """A particle crossing the static grid's margin must trip the
+    grid-escape telemetry (re-grid + replay under auto_retune; a loud
+    RuntimeError without) instead of silently clamping into an edge cell.
+    The reference's Dict grid is unbounded (SPHCellList.jl:144-162); the
+    static grid must alarm where the reference would just keep going."""
+    import numpy as np
+
+    from sphexample_tpu import run_simulation as run_sim
+
+    def build():
+        rng = np.random.default_rng(7)
+        const = SimulationConstants(dx=0.02, c0=40.0, cfl=0.3)
+        kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+        pos = rng.uniform(0, 0.3, size=(200, 2))
+        meta = SimulationMetaData(
+            simulation_name="esc", save_location=str(tmp_path), dims=2,
+            simulation_time=0.02, output_times=0.01, block_size=64,
+            dtype="float64", grid_margin_cells=2,
+        )
+        sim = assemble_simulation(
+            pos, np.full(200, const.rho0), np.ones(200, np.int32),
+            np.ones(200, np.int32), np.arange(1, 201),
+            meta, const, kern, ViscosityModel.ARTIFICIAL,
+            DensityDiffusionModel.ZERO,
+        )
+        # launch one ISOLATED particle (outside the blob, so viscosity can't
+        # brake it) through the 2-cell margin within the first output
+        # interval: grid x-edge is ~0.52 for H=0.08, and 30 m/s covers the
+        # remaining ~0.1 m in ~3 ms
+        cap = sim.state.particles.capacity
+        vel = np.zeros((cap, 2))
+        vel[0, 0] = 30.0
+        pos2 = np.asarray(sim.state.particles.position).copy()
+        pos2[0] = [0.45, 0.15]
+        sim.state = sim.state.replace(
+            particles=sim.state.particles.replace(
+                velocity=jnp.asarray(vel, dtype=jnp.float64),
+                position=jnp.asarray(pos2, dtype=jnp.float64),
+            )
+        )
+        return sim
+
+    sim = build()
+    ncells0 = sim.cfg.grid.ncells
+    sim = run_sim(sim, max_intervals=2)
+    assert sim.cfg.grid.ncells > ncells0, "expected a re-grid to fire"
+    assert int(sim.state.grid_escapes) == 0  # replay ran clean on the new grid
+    assert float(sim.state.total_time) > 0.02 - 1e-9
+    act = np.asarray(sim.state.particles.active)
+    assert np.isfinite(np.asarray(sim.state.particles.density)[act]).all()
+    # the escapee's final position is inside the grown grid
+    from sphexample_tpu.ops.cell_list import host_cell_coords
+
+    pos_f = np.asarray(sim.state.particles.position)[act]
+    c = host_cell_coords(pos_f, sim.cfg.spec.kernel.H_inv)
+    lo = np.asarray(sim.cfg.grid.cmin)
+    hi = lo + np.asarray(sim.cfg.grid.shape) - 1
+    assert ((c >= lo) & (c <= hi)).all()
+
+    # with auto_retune off the same escape raises loudly
+    sim2 = build()
+    with pytest.raises(RuntimeError, match="escaped"):
+        run_sim(sim2, max_intervals=2, auto_retune=False)
+
+
 def test_checkpoint_across_retune(tmp_path):
     """A checkpoint written AFTER a retune (grown mpc/cseg/capacity) must
     resume into a freshly assembled simulation with the original sizing:
