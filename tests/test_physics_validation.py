@@ -57,9 +57,11 @@ def test_dam_break_front_speed():
     # 0.159 m) - assert a band wide enough to be a regression guard while
     # catching sign errors / frozen fluid / explosions.
     speed_ratio = advance / (np.sqrt(9.81 * h0) * t)
-    # measured 0.61 on the pinned configuration (r2/r4); +-0.2 band catches a
-    # ~30% physics regression while tolerating fp32 run-to-run order noise
-    assert 0.41 < speed_ratio < 0.81, (
+    print(f"front speed ratio {speed_ratio:.4f} (pinned 0.61)")
+    # measured 0.61 on the pinned configuration (r2/r4/r5); +-0.10 band
+    # catches a ~16% physics regression while tolerating fp32 run-to-run
+    # summation-order noise (observed << 0.01 on this case)
+    assert 0.51 < speed_ratio < 0.71, (
         f"front advanced {advance:.3f} m (ratio {speed_ratio:.2f} of sqrt(g h0) t)"
     )
     # no particle escapes the tank (walls hold)
@@ -97,8 +99,10 @@ def test_hydrostatic_settling():
     p_deep = np.median(pres[deep])
     h_eff = np.quantile(z, 0.95) - np.median(z[deep])
     expected = 1000 * 9.81 * h_eff
-    # +-30% band around rho g h (VERDICT r3: a 40% physics error must fail)
-    assert 0.7 * expected < p_deep < 1.3 * expected
+    print(f"deep pressure ratio {p_deep / expected:.4f} (expect ~1)")
+    # +-15% band around rho g h (VERDICT r4: the old +-30% would miss a
+    # ~25% physics error; the medians are stable run-to-run)
+    assert 0.85 * expected < p_deep < 1.15 * expected
 
 
 @pytest.mark.slow
