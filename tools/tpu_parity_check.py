@@ -118,6 +118,7 @@ def main():
             ok &= _config_parity(cfg_f, p3, cs, args.atol, tag=tag)
 
     ok &= _mdbc_parity()
+    ok &= _sharded_parity(full=args.full)
     print("PARITY OK" if ok else "PARITY FAIL", file=sys.stderr)
     return 0 if ok else 1
 
@@ -218,6 +219,120 @@ def _mdbc_parity():
     print(f"mdbc: max rel diff pallas vs gather = {rel:.3e} "
           f"{'OK' if line_ok else 'FAIL'}")
     return bool(line_ok)
+
+
+def _sharded_column_sim(mdbc: bool, block: bool):
+    """The tall-column geometry of tests/test_sharded.py, compiled (no
+    interpret) in f32 for the chip: thin in x, long in z, so slabs exceed
+    one stencil reach and ``shard_simulation`` engages the halo path."""
+    import jax.numpy as jnp
+
+    from sphexample_tpu import (DensityDiffusionModel, KernelFamily, MDBCMode,
+                                SimulationConstants, SimulationMetaData,
+                                ViscosityModel, assemble_simulation,
+                                make_kernel)
+
+    const = SimulationConstants(dx=0.02, c0=40.0, cfl=0.3)
+    kern = make_kernel(KernelFamily.WENDLAND_C2, 2, dx=const.dx)
+    dx = const.dx
+    nx, nz = 6, 220
+    xs, zs = np.meshgrid(np.arange(nx), np.arange(nz), indexing="ij")
+    fluid = np.stack([xs.ravel() * dx, zs.ravel() * dx + dx], axis=-1)
+    floor_x = np.arange(-3, nx + 3) * dx
+    floor = np.stack([floor_x, np.full_like(floor_x, 0.0)], axis=-1)
+    wall_z = np.arange(0, nz + 6) * dx
+    lw = np.stack([np.full_like(wall_z, -dx), wall_z], axis=-1)
+    rw = np.stack([np.full_like(wall_z, nx * dx), wall_z], axis=-1)
+    bound = np.concatenate([floor, lw, rw])
+    pos = np.concatenate([bound, fluid])
+    nb, nf = len(bound), len(fluid)
+    ptype = np.concatenate([np.full(nb, 2), np.full(nf, 1)]).astype(np.int32)
+    ghost = ghostn = None
+    if mdbc:
+        gn = np.concatenate([
+            np.tile([[0.0, dx]], (len(floor), 1)),
+            np.tile([[dx, 0.0]], (len(lw), 1)),
+            np.tile([[-dx, 0.0]], (len(rw), 1)),
+        ])
+        ghost = bound + gn
+        ghostn = gn
+    meta = SimulationMetaData(
+        simulation_name="shparity", save_location="/tmp/shparity", dims=2,
+        dtype="float32", simulation_time=0.02, output_times=0.005,
+        block_size=32, grid_margin_cells=4, use_pallas=True,
+        block_sweep=block,
+        mdbc=MDBCMode.SIMPLE if mdbc else MDBCMode.NONE,
+    )
+    return assemble_simulation(
+        pos, np.full(len(pos), const.rho0), ptype,
+        np.ones(len(pos), np.int32), np.arange(1, len(pos) + 1),
+        meta, const, kern,
+        ViscosityModel.ARTIFICIAL, DensityDiffusionModel.LINEAR,
+        ghost_points=ghost, ghost_normals=ghostn,
+    )
+
+
+def _sharded_parity(full: bool = False):
+    """Compile the SHARDED kernel variants on the real chip and pin them
+    against the single-chip trajectory.
+
+    The sharded kernels (``pallas_block_sweep_sharded``, the sharded mDBC
+    moment kernel, the distributed rebuild) are CI-covered only in interpret
+    mode on virtual CPU devices - exactly the blind spot where the
+    ``pltpu.roll`` mis-lowering hid (see module docstring).  A 1-device mesh
+    executes the exact ext-coordinate/packed-global-index code path compiled
+    by Mosaic (the ppermutes degenerate to zero-fills; everything else is
+    the multi-chip kernel), so hardware parity here kills that blind spot
+    without multi-chip hardware.
+
+    ``full`` adds the cell-pair halo kernel variant (minutes of Mosaic
+    compile)."""
+    import jax.numpy as jnp
+
+    from sphexample_tpu.parallel.mesh import make_mesh, shard_simulation
+
+    configs = [("block+mdbc", True, True)]
+    if full:
+        configs.append(("cellpair", False, False))
+
+    ok = True
+    for tag, mdbc, block in configs:
+        sim_single = _sharded_column_sim(mdbc=mdbc, block=block)
+        sim_shard = shard_simulation(
+            _sharded_column_sim(mdbc=mdbc, block=block), make_mesh(1)
+        )
+        assert sim_shard.cfg.halo > 0, "halo path not engaged"
+        if block:
+            assert sim_shard.cfg.ct_cap > 0, "sharded block path not engaged"
+        else:
+            assert sim_shard.cfg.ct_cap == 0, "expected the cell-pair path"
+
+        t_out = jnp.asarray(0.004, dtype=jnp.float32)
+        f_single = sim_single.interval_fn(sim_single.state, t_out)
+        f_shard = sim_shard.interval_fn(sim_shard.state, t_out)
+
+        iters_ok = int(f_shard.iteration) == int(f_single.iteration)
+
+        def by_id(state):
+            ids = np.asarray(state.particles.id)
+            order = np.argsort(ids)
+            return order[ids[order] > 0]
+
+        o1, o2 = by_id(f_single), by_id(f_shard)
+        worst = 0.0
+        for field in ("position", "velocity", "density", "pressure"):
+            a = np.asarray(getattr(f_single.particles, field))[o1]
+            b = np.asarray(getattr(f_shard.particles, field))[o2]
+            scale = max(float(np.max(np.abs(a))), 1e-30)
+            worst = max(worst, float(np.max(np.abs(a - b))) / scale)
+        # same pair terms, rigidly shifted chunk windows: f32 trajectories
+        # should agree to summation-order noise over ~20 steps
+        line_ok = iters_ok and worst < 1e-4
+        ok &= line_ok
+        print(f"sharded[{tag}] 1-dev mesh vs single-chip: iters "
+              f"{int(f_shard.iteration)}/{int(f_single.iteration)} "
+              f"max rel diff {worst:.3e} {'OK' if line_ok else 'FAIL'}")
+    return bool(ok)
 
 
 if __name__ == "__main__":
