@@ -93,11 +93,24 @@ UNROLL = 1
 # importers (driver/mesh sizing) and match the env-configured CH.
 
 
+# A/B experiment: drop the 8-row DMA-window alignment entirely - windows
+# start exactly at each run's first row (vstart == 0 by construction, so the
+# packed word carries only vend-1 + the row offset, the validity interval
+# becomes one-sided, and the ~3.5 rows/run head slack disappears).  Relies
+# on Mosaic accepting non-8-aligned dynamic sublane offsets for HBM->VMEM
+# copies; chip A/B decides whether the (possibly slower) unaligned DMA pays
+# for the saved mask op + rows.
+UNALIGNED = int(_os.environ.get("SPH_BLOCK_UNALIGNED", "0"))
+
+
 def _enc_bits() -> int:
     return (CH - 1).bit_length()
 
 
 def _cap_limit() -> int:
+    if UNALIGNED:
+        # word = vend-1 (S bits) | row offset (32 - S bits, unit rows)
+        return 1 << (32 - _enc_bits())
     return 1 << (35 - 2 * _enc_bits())
 
 
@@ -288,7 +301,7 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     s = jnp.concatenate(run_s, axis=1).reshape(-1)      # [maxb * NR]
     e = jnp.concatenate(run_e, axis=1).reshape(-1)
 
-    s8 = (s // 8) * 8
+    s8 = s if UNALIGNED else (s // 8) * 8
     nch = jnp.where(e > s, -(-(e - s8) // CH), 0)       # [maxb * NR]
     gcum = jnp.cumsum(nch)
     total = gcum[-1].astype(jnp.int32)
@@ -353,12 +366,20 @@ def make_block_tables(cell_start, cells, active, grid: Grid,
     # DMA'd during warm-up (offset 0, harmless) but never decoded for
     # compute.
     s_bits = _enc_bits()
-    code = jnp.bitwise_or(
-        jnp.bitwise_or(
-            vstart, jnp.left_shift(jnp.maximum(vend - 1, 0), s_bits)
-        ),
-        jnp.left_shift(off8 // 8, 2 * s_bits),
-    )
+    if UNALIGNED:
+        # vstart == 0 by construction (s8 = s; the tail clamp never binds:
+        # capacity padding >= CH single-chip, and the sharded pack pads CH
+        # zero rows) - the word carries only vend-1 and the raw row offset
+        code = jnp.bitwise_or(
+            jnp.maximum(vend - 1, 0), jnp.left_shift(off8, s_bits)
+        )
+    else:
+        code = jnp.bitwise_or(
+            jnp.bitwise_or(
+                vstart, jnp.left_shift(jnp.maximum(vend - 1, 0), s_bits)
+            ),
+            jnp.left_shift(off8 // 8, 2 * s_bits),
+        )
     tab = jnp.where(dead, 0, code)
 
     # Partitioned-launch telemetry: with G = n_tab_parts(ct_cap) > 1 every
@@ -454,7 +475,7 @@ def _host_block_chunks(kb: np.ndarray, cs: np.ndarray, grid: Grid,
                 s = int(cs[xlo + nx * u])
                 e = int(cs[min(xhi + nx * v, ncells - 1) + 1])
                 if e > s:
-                    s8 = (s // 8) * 8
+                    s8 = s if UNALIGNED else (s // 8) * 8
                     nch = -(-(e - s8) // CH)
                     total += nch
                     if windows is not None:
@@ -518,18 +539,24 @@ def pack_block_fields(position, velocity, density, pressure, ml, tables,
       zero-guards per chunk (`_pair_math(rcps=...)`);
     * the pressure slot carries p/rho (`_pair_math(p_is_pq=True)`): the
       momentum factor needs two fewer tile multiplies;
-    * an extra ``rr = rho + C_lin z`` field collapses the LINEAR-diffusion
-      numerator (rho_ji - rho_h) to one subtract (C_lin = 0 for the other
-      diffusion models, where rr degenerates to rho)."""
+    * an extra ``rr = C_d (rho + C_lin z)`` field collapses the LINEAR-
+      diffusion numerator (rho_ji - rho_h) to one subtract AND carries the
+      diffusion constant C_d (``diffusion_rr_scale``), removing the
+      per-chunk constant multiply (C_lin = 0 and C_d = 1 for the diffusion
+      models that don't read rr)."""
     from ..config import DensityDiffusionModel
     from ..models.density_diffusion import linear_hydrostatic_constant
+    from .pallas_sweep import diffusion_rr_scale
 
     rho_g = jnp.where(density > 0.0, density, jnp.ones_like(density))
     rcp = 1.0 / rho_g
     C_lin = 0.0
+    C_d = 1.0
     if spec is not None and spec.diffusion is DensityDiffusionModel.LINEAR:
         C_lin = linear_hydrostatic_constant(spec.constants)
-    rr = rho_g + C_lin * position[:, -1]
+    if spec is not None:
+        C_d = diffusion_rr_scale(spec)
+    rr = C_d * (rho_g + C_lin * position[:, -1])
     # column order: the fields candidates consume (phys + rcp + idx + rr)
     # come FIRST, the self-only own-cell bounds (csr/cer) last - the sharded
     # halo exchange ships only the candidate-consumed prefix
@@ -580,12 +607,18 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb, bpb=1):
 
         def copy_for(g, slot):
             # chunk code: vstart | vend-1 << S_BITS | off8/8 << 2*S_BITS
-            # (the sign bit is data - decode with logical shifts)
-            off8 = pl.multiple_of(
-                jax.lax.shift_right_logical(
-                    chunk_tab_ref[g], jnp.int32(2 * s_bits)
-                ) * 8, 8
-            )
+            # (the sign bit is data - decode with logical shifts); in the
+            # UNALIGNED A/B the word is vend-1 | row-offset << S_BITS
+            if UNALIGNED:
+                off8 = jax.lax.shift_right_logical(
+                    chunk_tab_ref[g], jnp.int32(s_bits)
+                )
+            else:
+                off8 = pl.multiple_of(
+                    jax.lax.shift_right_logical(
+                        chunk_tab_ref[g], jnp.int32(2 * s_bits)
+                    ) * 8, 8
+                )
             return pltpu.make_async_copy(
                 packedT_hbm.at[pl.ds(off8, CH)], cand_buf.at[slot],
                 sem.at[slot],
@@ -643,7 +676,6 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb, bpb=1):
             rcp_i = dense_self(RCP)
             idx_i = dense_self(IDX)
             cs_i = dense_self(CSR)
-            ce_i = dense_self(CER)
             rr_i = dense_self(RR)
 
             # Lane-group masking by SENTINEL, not by per-chunk mask ops: the
@@ -677,13 +709,18 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb, bpb=1):
                     copy_for(ga, _slot(ga)).start()
                 wait_for(slot)
 
-                # decode vstart | vend-1 | off8/8 (S_BITS/S_BITS/rest)
+                # decode vstart | vend-1 | off8/8 (S_BITS/S_BITS/rest);
+                # UNALIGNED: vend-1 | off (vstart is 0 by construction)
                 v = chunk_tab_ref[g]
                 fmask = jnp.int32((1 << s_bits) - 1)
-                vs = jnp.bitwise_and(v, fmask)
-                ve = jnp.bitwise_and(
-                    jax.lax.shift_right_logical(v, jnp.int32(s_bits)),
-                    fmask) + 1
+                if UNALIGNED:
+                    vs = jnp.int32(0)
+                    ve = jnp.bitwise_and(v, fmask) + 1
+                else:
+                    vs = jnp.bitwise_and(v, fmask)
+                    ve = jnp.bitwise_and(
+                        jax.lax.shift_right_logical(v, jnp.int32(s_bits)),
+                        fmask) + 1
                 buf = cand_buf[slot]                        # [CH, 128]
 
                 # Candidate columns are [CH, 1]: on TPU that is 8 nearly-
@@ -698,23 +735,43 @@ def _make_block_kernel(spec: PhysicsSpec, dims, maxb, bpb=1):
                 rcp_j = dense_cand(RCP)
                 idx_j = dense_cand(IDX)
                 rr_j = dense_cand(RR)
+                cs_j = dense_cand(CSR)
                 # no lane-group mask: the loop split at prog_mid + the
                 # sentinel x-shift on the other group's lanes already zero
-                # every out-of-group contribution (see the selfA/B comment)
-                within = (sub >= vs) & (sub < ve)            # dense [CH, 128]
+                # every out-of-group contribution (see the selfA/B comment).
+                # Live chunks always have 0 <= vs < ve <= CH (empty
+                # encodings only occur past ``total`` and are never
+                # decoded), so the two-sided interval folds into ONE
+                # unsigned compare: (sub - vs) u< (ve - vs).
+                within = (
+                    jax.lax.convert_element_type(sub - vs, jnp.uint32)
+                    < jax.lax.convert_element_type(ve - vs, jnp.uint32)
+                )                                            # dense [CH, 128]
                 if want_kernel:
                     # self-pair exclusion: only the kernel sum W survives at
                     # d2 == 0, so the index test is only needed in STORE mode
                     within = within & (idx_j != idx_i)
                 # density-diffusion role quirk (cell-centric): intra-cell
                 # pairs give the i role to the lower sorted index,
-                # cross-cell pairs to the particle in the later cell (arrays
-                # are key-sorted, so later cell == higher sorted index)
-                same_cell = (idx_j >= cs_i) & (idx_j < ce_i)
-                i_is_role_i = ~(same_cell ^ (idx_i < idx_j))
+                # cross-cell pairs to the particle in the later cell.  One
+                # fused compare replaces the old same-cell/idx-order chain:
+                # cells order like their cell_start values (strictly
+                # increasing over occupied cells), so
+                #   role_i  <=>  (cs_i > cs_j) or (cs_i == cs_j and
+                #                idx_i < idx_j)
+                #           <=>  (cs_i - cs_j) * K + (idx_j - idx_i) > 0
+                # with K > max|idx_j - idx_i| (2^25 > 2^24, the packed-index
+                # budget).  All three intermediates are exact in f32 (both
+                # cs and idx are < 2^24), and when cs differ the fma's
+                # |(cs_i-cs_j) * K| >= 2^25 dominates the |idx| < 2^24 term
+                # even after rounding, so the sign - all we read - is exact.
+                i_is_role_i = (
+                    (cs_i - cs_j) * jnp.float32(2.0 ** 25) + (idx_j - idx_i)
+                    > 0.0
+                )
                 terms = _pair_math(spec, dims, self_g, cand_f, i_is_role_i,
                                    within, rcps=(rcp_i, rcp_j), p_is_pq=True,
-                                   rr=(rr_i, rr_j))
+                                   rr=(rr_i, rr_j), rr_scaled=True)
                 for k, key in enumerate(keys):
                     t = terms[key]                          # [CH, 128]
                     h = CH
@@ -1005,11 +1062,12 @@ def pallas_block_sweep_sharded(
     # receive zeros (lax.ppermute semantics), which is correct: validity
     # intervals are derived from the global cell_start and never reach past
     # the global array ends into a missing halo.  Only the columns that
-    # candidate rows actually consume ride the ICI (phys + rcp + idx + rr;
-    # the self-only csr/cer bounds and the 128-lane pad re-materialize as
+    # candidate rows actually consume ride the ICI (phys + rcp + idx + rr +
+    # csr - the kernel's fused role compare reads the candidate's own-cell
+    # start; the self-only cer bound and the 128-lane pad re-materialize as
     # zeros locally).  CH extra zero rows make the builder's window clamp a
     # no-op (see make_block_tables).
-    W = 2 * dims + 6  # nfields + rcp + idx + rr
+    W = 2 * dims + 7  # nfields + rcp + idx + rr + csr
     ndev = ctx.num_devices
     fwd = [(i, i + 1) for i in range(ndev - 1)]
     bwd = [(i + 1, i) for i in range(ndev - 1)]

@@ -313,8 +313,34 @@ def _w_value(kern, q):
     return aD * (inner + outer)
 
 
+def diffusion_rr_scale(spec: PhysicsSpec) -> float:
+    """The trace-time constant C_d that multiplies the LINEAR /
+    ZERO_GRAVITY_LINEAR diffusion numerator in :func:`_pair_math` -
+    EXACTLY the expression the kernel uses (m0-fold and the artificial-
+    viscosity 1/C_pi compensation included), so pack-time pre-scaling of
+    the ``rr`` column (``rr_scaled=True``) removes one full-tile multiply
+    per chunk with identical physics."""
+    from ..config import (DensityDiffusionModel, KernelOutputMode,
+                          ShiftingMode, ViscosityModel)
+
+    if spec.diffusion not in (DensityDiffusionModel.LINEAR,
+                              DensityDiffusionModel.ZERO_GRAVITY_LINEAR):
+        return 1.0
+    c = spec.constants
+    kern = spec.kernel
+    need_gw = (spec.kernel_output is KernelOutputMode.STORE
+               or spec.shifting is ShiftingMode.PLANAR
+               or spec.viscosity is ViscosityModel.LAMINAR_SPS)
+    m0x = 1.0 if not need_gw else c.m0
+    C_pi = 2.0 * c.alpha * c.c0 * kern.h * m0x
+    diff_scale = (1.0 / C_pi
+                  if spec.viscosity is ViscosityModel.ARTIFICIAL
+                  and C_pi != 0.0 else 1.0)
+    return -2.0 * c.delta_sph * kern.h * c.c0 * m0x * diff_scale
+
+
 def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within,
-               rcps=None, p_is_pq=False, rr=None):
+               rcps=None, p_is_pq=False, rr=None, rr_scaled=False):
     """All per-pair physics on [R, L] tiles (sublane = self particle, lane =
     candidate) - plain VPU elementwise ops that Mosaic lowers directly.
 
@@ -462,7 +488,13 @@ def _pair_math(spec: PhysicsSpec, dims, self_f, cand_f, i_is_role_i, within,
         # on the artificial path - diff_scale compensates.
         C_d = -2.0 * c.delta_sph * kern.h * c.c0 * m0x * diff_scale
         vol = jnp.where(i_is_role_i, rcp_rho_j, rcp_rho_i)
-        D = vol * diff_n * ((C_d * inv_d2) * g_d2)
+        # rr_scaled: C_d already rides the packed rr column (one dense [N]
+        # multiply at pack time, diffusion_rr_scale) - drop the per-chunk
+        # full-tile constant multiply.  Only LINEAR/ZG_LINEAR read rr.
+        pre = (rr_scaled and rr is not None and diff in (
+            DensityDiffusionModel.LINEAR,
+            DensityDiffusionModel.ZERO_GRAVITY_LINEAR))
+        D = vol * diff_n * ((inv_d2 if pre else C_d * inv_d2) * g_d2)
         if ml_gate is not None:
             D = D * ml_gate
         drho = drho + D

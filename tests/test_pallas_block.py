@@ -679,9 +679,15 @@ def test_block_tables_match_host_mirror(dims, seed):
     assert 0 < total < ct_cap
     S = pbs_mod._enc_bits()
     u = np.asarray(t.chunk_tab[:total], dtype=np.int64) & 0xFFFFFFFF
-    off8 = (u >> (2 * S)) * 8
-    vs = u & ((1 << S) - 1)
-    ve = ((u >> S) & ((1 << S) - 1)) + 1
+    if pbs_mod.UNALIGNED:
+        # A/B word layout: vend-1 | raw row offset << S (vstart == 0)
+        off8 = u >> S
+        vs = np.zeros_like(u)
+        ve = (u & ((1 << S) - 1)) + 1
+    else:
+        off8 = (u >> (2 * S)) * 8
+        vs = u & ((1 << S) - 1)
+        ve = ((u >> S) & ((1 << S) - 1)) + 1
 
     act = np.asarray(p.active)
     key, cs_h = pbs_mod._host_sorted_keys(
