@@ -527,6 +527,56 @@ def test_block_sweep_ch256_vend_saturation():
         pbs_mod.pallas_block_sweep.clear_cache()
 
 
+@pytest.mark.parametrize(
+    "ch",
+    [128,
+     pytest.param(64, marks=pytest.mark.slow),
+     pytest.param(192, marks=pytest.mark.slow),
+     pytest.param(256, marks=pytest.mark.slow)],
+)
+def test_block_sweep_unaligned_parity(ch):
+    """The UNALIGNED window A/B (env SPH_BLOCK_UNALIGNED) drops the 8-row DMA
+    alignment: windows start exactly at each run's first row, the packed word
+    carries only vend-1 | raw row offset << S_BITS, and validity becomes
+    one-sided.  Pin it against the XLA sweep across the CH values the
+    hardware A/B matrix probes (64/128/192/256) - the builder, host mirror
+    and kernel must agree on the alternate layout at every field width."""
+    import sphexample_tpu.ops.pallas_block_sweep as pbs_mod
+
+    old_u, old_ch = pbs_mod.UNALIGNED, pbs_mod.CH
+    pbs_mod.UNALIGNED, pbs_mod.CH = 1, ch
+    pbs_mod.pallas_block_sweep.clear_cache()
+    try:
+        const, kern, grid, p, cs = _setup(3)
+        t = pbs_mod.make_block_tables(cs, p.cell, p.active, grid,
+                                      p.capacity, 8192)
+        est = pbs_mod.estimate_chunk_total(
+            np.asarray(p.position[np.asarray(p.active)]), kern.H_inv, grid,
+            p.capacity)
+        assert est == int(t.chunk_total)
+        # the unaligned word layout really is in play: every live chunk's
+        # validity starts at 0 (vstart has no field; decode asserts below)
+        s = pbs_mod._enc_bits()
+        total = int(t.chunk_total)
+        u = np.asarray(t.chunk_tab[:total], dtype=np.int64) & 0xFFFFFFFF
+        ve = (u & ((1 << s) - 1)) + 1
+        assert (ve >= 1).all() and (ve <= ch).all()
+        spec = PhysicsSpec(constants=const, kernel=kern,
+                           viscosity=ViscosityModel.ARTIFICIAL,
+                           diffusion=DensityDiffusionModel.LINEAR,
+                           shifting=ShiftingMode.PLANAR,
+                           kernel_output=KernelOutputMode.STORE)
+        ref = pair_sweep(spec, grid, 512, 64, p, cs, p.position, p.density,
+                         p.pressure, p.velocity)
+        out = pbs_mod.pallas_block_sweep(spec, grid, 8192, p, cs, p.position,
+                                         p.density, p.pressure, p.velocity,
+                                         interpret=True)
+        _compare(out, ref)
+    finally:
+        pbs_mod.UNALIGNED, pbs_mod.CH = old_u, old_ch
+        pbs_mod.pallas_block_sweep.clear_cache()
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("bpb", [2, 4])
 def test_block_sweep_bpb_override_parity(bpb):

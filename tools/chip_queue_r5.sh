@@ -49,24 +49,42 @@ fi
 # 2. op-cut A/B on a healthy transport (r4 baseline: bsweep 12.97 raw @ 28ms floor)
 run ab_cuts 1800 python tools/sweep_bench.py --which bsweep,bstub,blaunch,step
 
-# 3. UNALIGNED window A/B (interpret-parity-pinned on CPU first)
+# 3. UNALIGNED x CH matrix (interpret-parity-pinned on CPU first).  The op
+#    cuts changed the per-row/per-chunk cost ratio, so the r4 CH verdicts
+#    (192/256 lose) may have moved; UNALIGNED kills the head slack that made
+#    larger CH lose lanes.  bsweep-only probes, ~3 min each.
 SPH_BLOCK_UNALIGNED=1 run ab_unaligned 1800 \
   python tools/sweep_bench.py --which bsweep,bstub
+SPH_BLOCK_UNALIGNED=1 SPH_BLOCK_CH=192 run ab_u_ch192 1200 \
+  python tools/sweep_bench.py --which bsweep
+SPH_BLOCK_UNALIGNED=1 SPH_BLOCK_CH=256 run ab_u_ch256 1200 \
+  python tools/sweep_bench.py --which bsweep
+SPH_BLOCK_UNALIGNED=1 SPH_BLOCK_CH=64 run ab_u_ch64 1200 \
+  python tools/sweep_bench.py --which bsweep
+SPH_BLOCK_CH=192 run ab_a_ch192 1200 \
+  python tools/sweep_bench.py --which bsweep
 
-# 4. full Duckling Dp0.01 deck end-to-end (t_end = 1.0 s)
+# 3b. hardware parity for the UNALIGNED variant (mandatory before any
+#     default flip - interpret mode cannot catch Mosaic lowering bugs; the
+#     unaligned dynamic sublane DMA offset is exactly that blind spot)
+SPH_BLOCK_UNALIGNED=1 run parity_unaligned 3000 python tools/tpu_parity_check.py
+
+# 4. the bench artifact EARLY (has its own parity gate; exit 1 cannot post a
+#    number) - before the multi-hour deck runs so a late transport recovery
+#    still lands the perf number.
+run bench 3000 python bench.py
+
+# 5. full Duckling Dp0.01 deck end-to-end (t_end = 1.0 s)
 run duckling 7200 python examples/duckling_mdbc.py --pallas \
   --save out/r5_chipq/duckling --watchdog 600
 run duckling_analyze 600 python tools/analyze_case.py \
   out/r5_chipq/duckling/CaseDuckling.vtkhdf --band 950 1100 --every 5
 
-# 5. full MovingSquare Dp0.04 deck end-to-end (t_end = 2.5 s)
+# 6. full MovingSquare Dp0.04 deck end-to-end (t_end = 2.5 s)
 run msq 7200 python examples/moving_square_2d.py --pallas \
   --save out/r5_chipq/msq --watchdog 600
 run msq_analyze 600 python tools/analyze_case.py \
   out/r5_chipq/msq/MovingSquare2D.vtkhdf --band 900 1150 \
   --track-marker 3 --speed 2.8 --direction 0 --duration 3.0 --track-tol 2e-3
-
-# 6. the bench artifact (has its own parity gate; exit 1 cannot post a number)
-run bench 3000 python bench.py
 
 echo "[chipq] QUEUE COMPLETE $(date -u +%H:%M:%SZ)" | tee -a $LOG/status.txt
