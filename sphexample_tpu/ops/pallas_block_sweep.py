@@ -856,12 +856,15 @@ def pallas_block_sweep(
     cap = position.shape[0]
     if cap % BLOCK != 0:
         raise ValueError(f"capacity {cap} must be a multiple of {BLOCK}")
-    if cap < CH + 8 or cap > _cap_limit():
+    if cap < CH + 8 or cap > min(_cap_limit(), 2 ** 24):
         # off8/8 must fit the packed code's offset field; beyond it
         # (~2M rows at CH=128) the driver uses the cell-pair kernel (or shard over
-        # a mesh: parallel.shard_simulation)
+        # a mesh: parallel.shard_simulation).  The 2^24 bound is the f32
+        # packed-index/cell-start exactness budget (the fused role compare
+        # relies on it) - it only binds in UNALIGNED mode, whose offset
+        # field is wider than 2^24 rows.
         raise ValueError(f"capacity {cap} out of the supported range "
-                         f"[{CH + 8}, {_cap_limit()}]")
+                         f"[{CH + 8}, {min(_cap_limit(), 2 ** 24)}]")
     maxb = n_blocks(cap)
 
     if tables is None:
