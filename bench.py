@@ -184,14 +184,23 @@ def run_case(args, case, dx_arg):
     state2 = run(state)
     sync(state2)
 
-    t0 = time.perf_counter()
-    state3 = run(state2)
-    sync(state3)
-    elapsed = time.perf_counter() - t0
+    # best-of-N timed reps: each rep is ONE device call of args.steps steps
+    # plus the scalar sync fetch, so a single rep is exposed to the tunneled
+    # transport's per-call jitter (observed 26-48 ms on the same day).  The
+    # minimum is the compute-bound number; per-rep walls go to stderr.
+    walls = []
+    state3 = state2
+    for _ in range(max(1, args.reps)):
+        t0 = time.perf_counter()
+        state3 = run(state3)
+        sync(state3)
+        walls.append(time.perf_counter() - t0)
+    elapsed = min(walls)
 
     psteps = n * args.steps / elapsed
     print(
-        f"# case={case} dx={dx} n={n} steps={args.steps} elapsed={elapsed:.3f}s "
+        f"# case={case} dx={dx} n={n} steps={args.steps} "
+        f"walls={[round(w, 3) for w in walls]}s "
         f"backend={jax.default_backend()} dtype={args.dtype} "
         f"block={args.block_size} pallas={use_pallas} "
         f"t_sim={float(state3.total_time):.4f}s dt={float(state3.current_dt):.2e}",
@@ -205,6 +214,10 @@ def main():
     ap.add_argument("--case", choices=["dambreak3d", "dambreak2d"], default="dambreak3d")
     ap.add_argument("--dx", type=float, default=None)
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions of the headline measurement; "
+                         "the artifact reports the best (transport jitter "
+                         "rejection - each rep is one device call)")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--block-size", type=int, default=512)
@@ -309,6 +322,8 @@ def main():
 
             scale_args = copy.copy(args)
             scale_args.steps = min(args.steps, 50)  # bound the 1.2M wall time
+            scale_args.reps = 1                     # (ditto - evidence, not
+            #                                         the headline metric)
             sdx, sn, spsteps = _armed(
                 "scale_check", run_case, scale_args, args.case, args.scale_dx
             )
