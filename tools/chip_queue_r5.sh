@@ -84,7 +84,7 @@ run duckling_analyze 600 python tools/analyze_case.py \
 run msq 7200 python examples/moving_square_2d.py --pallas \
   --save out/r5_chipq/msq --watchdog 600
 run msq_analyze 600 python tools/analyze_case.py \
-  out/r5_chipq/msq/MovingSquare2D.vtkhdf --band 900 1150 \
+  out/r5_chipq/msq/MovingSquare2D.vtkhdf --band 900 1150 --allow-outliers 2 \
   --track-marker 3 --speed 2.8 --direction 0 --duration 3.0 --track-tol 2e-3
 
 echo "[chipq] QUEUE COMPLETE $(date -u +%H:%M:%SZ)" | tee -a $LOG/status.txt
