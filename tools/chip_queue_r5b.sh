@@ -20,7 +20,10 @@ for _ in range(10):
     float(jnp.ones(8).sum())
 per = (time.time() - t0) / 10 * 1e3
 print(f"callfloor ~{per:.1f} ms")
-exit(0 if per < 34.0 else 3)
+# These runs are end-to-end correctness evidence, not timed probes: any
+# LIVE transport will do (a slow call floor only pads the wall clock),
+# so the gate is liveness, not the <34 ms perf bar the A/B queue used.
+exit(0 if per < 200.0 else 3)
 EOF
 }
 
@@ -41,21 +44,33 @@ run() {  # run <name> <timeout-s> <cmd...>
   return $rc
 }
 
+# The transport stalls for minutes-to-hours at random (first run of this
+# queue lost 10+ min to a soft-watchdog hang): every deck runs HARD-
+# watchdogged under the exit-86 supervisor, checkpointing every 20
+# outputs, so a stall costs ~5 min + the tail since the last checkpoint
+# instead of the whole run.
+
 # 1. StillWedge Dp0.02 full deck (t_end = 4.0 s, reference default)
-run wedge 7200 python examples/still_wedge_mdbc.py --pallas \
-  --save out/r5_chipq2/wedge --watchdog 600
+run wedge 10800 bash tools/supervised_run.sh out/r5_chipq2/wedge -- \
+  python examples/still_wedge_mdbc.py --pallas \
+  --save out/r5_chipq2/wedge --checkpoint-every 20 \
+  --watchdog 300 --watchdog-hard
 run wedge_analyze 600 python tools/analyze_case.py \
   out/r5_chipq2/wedge/StillWedge.vtkhdf --band 980 1060 --every 10
 
 # 2. StillWedgeMiddleSquare Dp0.02 full deck (t_end = 4.0 s)
-run midsq 7200 python examples/still_wedge_middle_square_mdbc.py --pallas \
-  --save out/r5_chipq2/midsq --watchdog 600
+run midsq 10800 bash tools/supervised_run.sh out/r5_chipq2/midsq -- \
+  python examples/still_wedge_middle_square_mdbc.py --pallas \
+  --save out/r5_chipq2/midsq --checkpoint-every 20 \
+  --watchdog 300 --watchdog-hard
 run midsq_analyze 600 python tools/analyze_case.py \
   out/r5_chipq2/midsq/StillWedgeMiddleSquare.vtkhdf --band 980 1060 --every 10
 
 # 3. DamBreak2d MDBC full deck (t_end = 2.0 s, explicit output-time vector)
-run db2d 7200 python examples/dam_break_2d_mdbc.py --pallas \
-  --save out/r5_chipq2/db2d --watchdog 600
+run db2d 10800 bash tools/supervised_run.sh out/r5_chipq2/db2d -- \
+  python examples/dam_break_2d_mdbc.py --pallas \
+  --save out/r5_chipq2/db2d --checkpoint-every 20 \
+  --watchdog 300 --watchdog-hard
 run db2d_analyze 600 python tools/analyze_case.py \
   out/r5_chipq2/db2d/DamBreak2D.vtkhdf --band 900 1150 --allow-outliers 2 \
   --every 5
